@@ -1,0 +1,130 @@
+"""Sliding-window 2D->3D lifting drivers.
+
+Functional parity targets:
+  * ``evaluate``+``UnchunkedGenerator`` full-sequence inference with test-time
+    flip averaging (reference tools/inference.py:19-41,
+    reconstruction.py:148-170, common/generators.py:210-235).
+  * ``gen_pose`` post-processing to world coordinates with the demo rotation
+    quaternion (tools/inference.py:44-70).
+
+TPU-first design: the whole pipeline — receptive-field edge padding, the
+flipped TTA copy, the dilated forward, un-flipping and averaging — is one
+jitted function over a fixed-shape batch. Variable-length videos are rounded
+up to length buckets (valid temporal convs make trailing edge-pad outputs
+exact garbage we trim, so bucketing is numerically exact) so each bucket
+compiles once. Multi-person scenes batch along the leading axis instead of
+looping sequences like the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gastx.geometry import camera_to_world
+from gastx.models.config import GastNetConfig
+from gastx.models.gastnet import gastnet_forward
+from gastx.skeleton import get_layout
+
+# Hard-coded camera->world rotation used by the in-the-wild demos
+# (tools/inference.py:16, reconstruction.py:26).
+DEMO_ROT = np.array([0.14070565, -0.15007018, -0.7552408, 0.62232804],
+                    dtype=np.float32)
+
+_BUCKET = 64
+
+
+def _bucket_length(t: int) -> int:
+    return max(_BUCKET, ((t + _BUCKET - 1) // _BUCKET) * _BUCKET)
+
+
+def _flip_perm(layout) -> np.ndarray:
+    """Joint permutation swapping left<->right columns (static)."""
+    left, right = list(layout.joints_left), list(layout.joints_right)
+    perm = np.arange(layout.num_joints)
+    perm[left + right] = perm[right + left].copy()
+    return perm
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tta"))
+def _lift_batch(params, state, x, cfg: GastNetConfig, tta: bool):
+    """x: (M, T_padded, J, 2) -> (M, T_out, J, 3), flip-TTA averaged."""
+    layout = get_layout(cfg.layout)
+    perm = _flip_perm(layout)
+
+    if tta:
+        # Mirror: negate x coordinate and swap left/right joints
+        # (common/generators.py:231-233).
+        flipped = x.at[..., 0].multiply(-1.0)[:, :, perm]
+        x = jnp.concatenate([x, flipped], axis=0)
+
+    y, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                           train=False)
+
+    if tta:
+        # Un-flip the mirrored half and average (tools/inference.py:33-37).
+        m = y.shape[0] // 2
+        y0, y1 = y[:m], y[m:]
+        y1 = y1.at[..., 0].multiply(-1.0)[:, :, perm]
+        y = 0.5 * (y0 + y1)
+    return y
+
+
+def lift_sequences(
+    params,
+    state,
+    sequences: Sequence[np.ndarray],
+    cfg: GastNetConfig,
+    *,
+    tta: bool = True,
+) -> List[np.ndarray]:
+    """Lift normalized 2D keypoint sequences [(T_i, J, 2)] to [(T_i, J, 3)].
+
+    Sequences are edge-padded by the receptive field (asymmetrically when
+    causal), grouped into length buckets, and lifted in batched jitted calls.
+    """
+    rf = cfg.receptive_field()
+    pad = (rf - 1) // 2
+    shift = pad if cfg.causal else 0
+
+    # Group by bucketed padded length so each shape compiles once.
+    jobs = {}
+    for i, seq in enumerate(sequences):
+        t = seq.shape[0]
+        t_pad = t + 2 * pad
+        jobs.setdefault(_bucket_length(t_pad), []).append(i)
+
+    results: List[Optional[np.ndarray]] = [None] * len(sequences)
+    for bucket, idxs in jobs.items():
+        batch = []
+        for i in idxs:
+            seq = np.asarray(sequences[i], dtype=np.float32)
+            t = seq.shape[0]
+            # Edge padding == clamped index gather; trailing bucket fill
+            # repeats the final frame (its outputs are trimmed below).
+            gather = np.clip(np.arange(-(pad + shift), bucket - pad - shift),
+                             0, t - 1)
+            batch.append(seq[gather])
+        x = jnp.asarray(np.stack(batch))
+        y = np.asarray(_lift_batch(params, state, x, cfg, tta))
+        for row, i in enumerate(idxs):
+            # np.array: callers mutate predictions (height rebase etc.)
+            results[i] = np.array(y[row, :sequences[i].shape[0]])
+    return results
+
+
+def lift_to_world(
+    params,
+    state,
+    sequences: Sequence[np.ndarray],
+    cfg: GastNetConfig,
+    *,
+    tta: bool = True,
+    rot: np.ndarray = DEMO_ROT,
+) -> List[np.ndarray]:
+    """Lift + rotate predictions into world coordinates (tools/inference.py:44-70)."""
+    preds = lift_sequences(params, state, sequences, cfg, tta=tta)
+    return [np.array(camera_to_world(p, R=rot, t=0)) for p in preds]

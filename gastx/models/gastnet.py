@@ -1,0 +1,116 @@
+"""GastNet forward pass — graph-attention spatio-temporal lifting, TPU-native.
+
+One parameterized forward covers the reference's two weight-compatible
+variants (model/gast_net.py:107-251):
+
+  * ``variant="dilated"`` — the reference SpatioTemporalModel: valid dilated
+    temporal convs, used for all evaluation/inference, accepting any T >=
+    receptive_field and emitting T - (rf-1) output frames.
+  * ``variant="strided"`` — SpatioTemporalModelOptimized1f: strided temporal
+    convs for stride-1 training chunks (input T == receptive_field, output 1
+    frame) that skip computing unused intermediate frames. Parameter trees are
+    identical, so weights are interchangeable, matching
+    model/gast_net.py:186-188.
+
+Activations are channels-last (B, T, J, C) throughout: channel contractions
+land on the MXU lane dimension, graph ops batch over B*T, and XLA fuses the
+BN/ReLU/residual chains into the convs. The Python level loop unrolls at trace
+time (filter_widths is static).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gastx.models.config import GastNetConfig, graph_statics
+from gastx.ops.batchnorm import batch_norm
+from gastx.ops.graph import _dropout, graph_attention_block
+from gastx.ops.temporal import pointwise, temporal_conv
+
+
+def gastnet_forward(
+    params: Dict,
+    state: Dict,
+    x: jnp.ndarray,
+    cfg: GastNetConfig,
+    *,
+    variant: str = "dilated",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Lift 2D keypoint sequences to 3D.
+
+    ``x``: (B, T, J, C_in) normalized 2D keypoints. Returns
+    ((B, T_out, J, 3) poses, new BN state). ``variant`` and ``train`` are
+    static under jit; pass ``rng`` when ``train`` for dropout.
+    """
+    assert x.ndim == 4, x.shape
+    assert x.shape[-2] == cfg.num_joints_in, (x.shape, cfg.num_joints_in)
+    assert x.shape[-1] == cfg.in_features, (x.shape, cfg.in_features)
+    assert variant in ("dilated", "strided")
+    if train and cfg.dropout > 0.0:
+        assert rng is not None, "rng required for dropout in train mode"
+
+    statics = graph_statics(cfg.layout)
+    fw = cfg.filter_widths
+    pads = cfg.pads()
+    shifts = cfg.causal_shifts(variant)
+
+    def block_rng(i: int):
+        return jax.random.fold_in(rng, i) if rng is not None else None
+
+    new_state: Dict = {}
+
+    y, new_state["init_bn"] = batch_norm(
+        x, params["init_bn"], state["init_bn"], train=train)
+    y = temporal_conv(y, params["expand_conv"]["w"],
+                      stride=fw[0] if variant == "strided" else 1)
+    y, new_state["expand_bn"] = batch_norm(
+        y, params["expand_bn"], state["expand_bn"], train=train)
+    y = jax.nn.relu(y)
+
+    gab_states = []
+    y, s_gab = graph_attention_block(
+        y, params["gabs"][0], state["gabs"][0], statics,
+        train=train, dropout_rate=cfg.dropout, rng=block_rng(0))
+    gab_states.append(s_gab)
+
+    temporal_states = []
+    next_dilation = fw[0]
+    for i in range(1, cfg.num_levels):
+        blk_p = params["temporal"][i - 1]
+        blk_s = state["temporal"][i - 1]
+
+        if variant == "strided":
+            res = y[:, shifts[i] + fw[i] // 2:: fw[i]]
+            z = temporal_conv(y, blk_p["conv_t"]["w"], stride=fw[i])
+        else:
+            pad, shift = pads[i], shifts[i]
+            res = y[:, pad + shift: y.shape[1] - pad + shift]
+            z = temporal_conv(y, blk_p["conv_t"]["w"],
+                              dilation=1 if cfg.dense else next_dilation)
+
+        z, s_t = batch_norm(z, blk_p["bn_t"], blk_s["bn_t"], train=train)
+        z = jax.nn.relu(z)
+        z = pointwise(z, blk_p["conv_1"]["w"])
+        z, s_1 = batch_norm(z, blk_p["bn_1"], blk_s["bn_1"], train=train)
+        z = jax.nn.relu(z)
+        if train and cfg.dropout > 0.0:
+            z = _dropout(z, cfg.dropout, jax.random.fold_in(rng, 1000 + i))
+        y = res + z
+
+        y, s_gab = graph_attention_block(
+            y, params["gabs"][i], state["gabs"][i], statics,
+            train=train, dropout_rate=cfg.dropout, rng=block_rng(i))
+
+        temporal_states.append({"bn_t": s_t, "bn_1": s_1})
+        gab_states.append(s_gab)
+        next_dilation *= fw[i]
+
+    y = pointwise(y, params["shrink"]["w"])
+
+    new_state["temporal"] = tuple(temporal_states)
+    new_state["gabs"] = tuple(gab_states)
+    return y, new_state

@@ -1,0 +1,128 @@
+"""Batcher parity: the vectorized gather-based batchers must reproduce the
+reference's per-sample pad/flip loop outputs batch-for-batch."""
+import numpy as np
+import pytest
+
+from gastx.data.generators import ChunkedBatcher, UnchunkedBatcher
+
+from reference_torch import import_reference, reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available")
+
+KPS_LEFT = [4, 5, 6, 11, 12, 13]
+KPS_RIGHT = [1, 2, 3, 14, 15, 16]
+
+
+def _toy_data(seed=0, n_seqs=3):
+    rng = np.random.default_rng(seed)
+    lengths = [50, 31, 77][:n_seqs]
+    poses_2d = [rng.standard_normal((t, 17, 2)).astype(np.float32)
+                for t in lengths]
+    poses_3d = [rng.standard_normal((t, 17, 3)).astype(np.float32)
+                for t in lengths]
+    cams = [rng.standard_normal(9).astype(np.float32) for _ in lengths]
+    return cams, poses_3d, poses_2d
+
+
+def test_chunked_edge_padding():
+    """Window indices outside the sequence clamp to the edges."""
+    poses_2d = [np.arange(10, dtype=np.float32).reshape(10, 1, 1).repeat(2, 2)]
+    gen = ChunkedBatcher(4, None, None, poses_2d, chunk_length=1, pad=3,
+                         shuffle=False)
+    _, _, batch_2d = next(gen.next_epoch())
+    # First chunk: frames [-3..3] -> clamped [0,0,0,0,1,2,3]
+    np.testing.assert_allclose(batch_2d[0, :, 0, 0],
+                               [0, 0, 0, 0, 1, 2, 3])
+    # Last-in-batch chunk 3: frames [0..6]
+    np.testing.assert_allclose(batch_2d[3, :, 0, 0],
+                               [0, 1, 2, 3, 4, 5, 6])
+
+
+@requires_reference
+@pytest.mark.parametrize("augment,chunk_length,pad,causal_shift", [
+    (False, 1, 13, 0),
+    (True, 1, 13, 0),
+    (True, 3, 13, 13),
+    (True, 1, 4, 0),
+])
+def test_chunked_matches_reference(augment, chunk_length, pad, causal_shift):
+    import_reference()
+    from common.generators import ChunkedGenerator as RefGen
+
+    cams, poses_3d, poses_2d = _toy_data()
+    kwargs = dict(chunk_length=chunk_length, pad=pad,
+                  causal_shift=causal_shift, shuffle=True, augment=augment,
+                  kps_left=KPS_LEFT, kps_right=KPS_RIGHT,
+                  joints_left=KPS_LEFT, joints_right=KPS_RIGHT)
+
+    ref = RefGen(8, list(cams), [p.copy() for p in poses_3d],
+                 [p.copy() for p in poses_2d], **kwargs)
+    got = ChunkedBatcher(8, list(cams), [p.copy() for p in poses_3d],
+                         [p.copy() for p in poses_2d], **kwargs)
+
+    assert got.num_batches == ref.num_batches
+    ref_batches = list(ref.next_epoch())
+    got_batches = list(got.next_epoch())
+    assert len(ref_batches) == len(got_batches)
+    for (rc, r3, r2), (gc, g3, g2) in zip(ref_batches, got_batches):
+        np.testing.assert_allclose(g2, r2, atol=1e-6)
+        np.testing.assert_allclose(g3, r3, atol=1e-6)
+        np.testing.assert_allclose(gc, rc[:len(gc)], atol=1e-6)
+
+
+@requires_reference
+def test_chunked_shuffle_stream_matches_reference():
+    """Both consume RandomState(1234) identically, so epoch 2+ orders match."""
+    import_reference()
+    from common.generators import ChunkedGenerator as RefGen
+
+    cams, poses_3d, poses_2d = _toy_data(seed=5)
+    kwargs = dict(chunk_length=1, pad=2, causal_shift=0, shuffle=True,
+                  augment=True, kps_left=KPS_LEFT, kps_right=KPS_RIGHT,
+                  joints_left=KPS_LEFT, joints_right=KPS_RIGHT)
+    ref = RefGen(16, None, None, [p.copy() for p in poses_2d], **kwargs)
+    got = ChunkedBatcher(16, None, None, [p.copy() for p in poses_2d],
+                         **kwargs)
+    for _ in range(3):  # multiple epochs advance the RNG identically
+        for (_, _, r2), (_, _, g2) in zip(ref.next_epoch(), got.next_epoch()):
+            np.testing.assert_allclose(g2, r2, atol=1e-6)
+
+
+@requires_reference
+@pytest.mark.parametrize("augment,pad,causal_shift", [
+    (False, 13, 0), (True, 13, 0), (True, 13, 13),
+])
+def test_unchunked_matches_reference(augment, pad, causal_shift):
+    import_reference()
+    from common.generators import UnchunkedGenerator as RefGen
+
+    cams, poses_3d, poses_2d = _toy_data(seed=9)
+    kwargs = dict(pad=pad, causal_shift=causal_shift, augment=augment,
+                  kps_left=KPS_LEFT, kps_right=KPS_RIGHT,
+                  joints_left=KPS_LEFT, joints_right=KPS_RIGHT)
+    ref = RefGen(list(cams), [p.copy() for p in poses_3d],
+                 [p.copy() for p in poses_2d], **kwargs)
+    got = UnchunkedBatcher(list(cams), [p.copy() for p in poses_3d],
+                           [p.copy() for p in poses_2d], **kwargs)
+
+    assert got.num_frames() == ref.num_frames()
+    for (rc, r3, r2), (gc, g3, g2) in zip(ref.next_epoch(), got.next_epoch()):
+        np.testing.assert_allclose(g2, r2, atol=1e-6)
+        np.testing.assert_allclose(g3, r3, atol=1e-6)
+        np.testing.assert_allclose(gc, rc, atol=1e-6)
+
+
+def test_endless_state_resume():
+    """Endless mode persists (batch_idx, pairs) so iteration resumes."""
+    _, _, poses_2d = _toy_data(seed=3)
+    gen = ChunkedBatcher(8, None, None, poses_2d, chunk_length=1, pad=2,
+                         shuffle=True, endless=True)
+    it = gen.next_epoch()
+    first = next(it)[2].copy()
+    state = gen.state
+    # A new iterator with the saved state continues from batch 1, not 0.
+    gen.state = state
+    it2 = gen.next_epoch()
+    second = next(it2)[2]
+    assert not np.allclose(first, second)

@@ -1,0 +1,147 @@
+"""Training-stack tests: amsgrad parity vs torch, train-step behavior,
+data-parallel sharding equivalence, checkpoint roundtrip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gastx.models import GastNetConfig, gastnet_forward, init_gastnet
+from gastx.parallel import make_mesh, replicate, shard_batch
+from gastx.train import (
+    TrainState,
+    exponential_epoch_decay,
+    init_train_state,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+    scale_by_amsgrad,
+)
+
+TINY = GastNetConfig(num_joints_in=15, num_joints_out=15,
+                     filter_widths=(3, 3), channels=8, dropout=0.0,
+                     layout="humaneva15")
+
+
+def _tiny_batch(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    rf = TINY.receptive_field()
+    x2d = rng.standard_normal((n, rf, 15, 2)).astype(np.float32)
+    x3d = rng.standard_normal((n, 1, 15, 3)).astype(np.float32)
+    return x2d, x3d
+
+
+def test_amsgrad_matches_torch_adam():
+    import torch
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(6)]
+    lr = 1e-2
+
+    # torch reference
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([tp], lr=lr, amsgrad=True)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    # gastx
+    tx = scale_by_amsgrad()
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params,
+                                        updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), atol=1e-6)
+
+
+def test_lr_decay_schedule():
+    assert exponential_epoch_decay(1e-3, 0.95, 0) == pytest.approx(1e-3)
+    assert exponential_epoch_decay(1e-3, 0.95, 10) == pytest.approx(
+        1e-3 * 0.95**10)
+
+
+def test_train_step_reduces_loss():
+    params, bn_state = init_gastnet(jax.random.PRNGKey(0), TINY)
+    ts = init_train_state(params, bn_state)
+    step = make_train_step(TINY, variant="strided")
+    x2d, x3d = _tiny_batch()
+
+    losses = []
+    for i in range(8):
+        ts, loss = step(ts, x2d, x3d, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_data_parallel_equivalence():
+    """One DP step over an 8-device mesh computes exactly the single-device
+    result (global-batch BN stats + psum'd gradients)."""
+    params, bn_state = init_gastnet(jax.random.PRNGKey(0), TINY)
+    x2d, x3d = _tiny_batch(n=8, seed=3)
+    lr = jnp.float32(1e-3)
+    rng = jax.random.PRNGKey(0)
+
+    # Single device
+    ts1 = init_train_state(params, bn_state)
+    step = make_train_step(TINY, variant="strided")
+    ts1, loss1 = step(ts1, jnp.asarray(x2d), jnp.asarray(x3d), lr, rng)
+
+    # 8-device mesh
+    mesh = make_mesh(jax.devices()[:8])
+    ts8 = replicate(mesh, init_train_state(params, bn_state))
+    with mesh:
+        (x2d_s, x3d_s), _ = shard_batch(mesh, x2d, x3d)
+        step8 = make_train_step(TINY, variant="strided")
+        ts8, loss8 = step8(ts8, x2d_s, x3d_s, lr, rng)
+
+    assert float(loss8) == pytest.approx(float(loss1), abs=1e-6)
+    flat1 = jax.tree_util.tree_leaves(ts1.params)
+    flat8 = jax.tree_util.tree_leaves(ts8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dropout_rng_changes_output():
+    cfg = GastNetConfig(num_joints_in=15, num_joints_out=15,
+                        filter_widths=(3, 3), channels=8, dropout=0.5,
+                        layout="humaneva15")
+    params, bn_state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    x2d, _ = _tiny_batch()
+    y1, _ = gastnet_forward(params, bn_state, x2d, cfg, variant="strided",
+                            train=True, rng=jax.random.PRNGKey(1))
+    y2, _ = gastnet_forward(params, bn_state, x2d, cfg, variant="strided",
+                            train=True, rng=jax.random.PRNGKey(2))
+    y1r, _ = gastnet_forward(params, bn_state, x2d, cfg, variant="strided",
+                             train=True, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y1r))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params, bn_state = init_gastnet(jax.random.PRNGKey(0), TINY)
+    ts = init_train_state(params, bn_state)
+    rs = np.random.RandomState(1234)
+    rs.permutation(10)  # advance
+
+    path = str(tmp_path / "ckpt.bin")
+    save_checkpoint(path, epoch=7, lr=4.2e-4, train_state=ts,
+                    batcher_random_state=rs)
+    blob = load_checkpoint(path)
+    assert blob["epoch"] == 7
+    assert blob["lr"] == pytest.approx(4.2e-4)
+
+    restored = blob["train_state"]
+    for a, b in zip(jax.tree_util.tree_leaves(ts),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    from gastx.train import restore_batcher_random_state
+    rs2 = restore_batcher_random_state(blob)
+    np.testing.assert_array_equal(rs.permutation(100), rs2.permutation(100))

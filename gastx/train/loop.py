@@ -52,7 +52,7 @@ def make_train_step(
     tx = tx or scale_by_amsgrad()
 
     @functools.partial(jax.jit, donate_argnames=("ts",))
-    def step(ts: TrainState, batch_2d, batch_3d, lr, rng
+    def step(ts: TrainState, batch_2d, batch_3d, sample_weight, lr, rng
              ) -> Tuple[TrainState, jnp.ndarray]:
         target = batch_3d.at[:, :, 0].set(0.0)
 
@@ -60,7 +60,14 @@ def make_train_step(
             pred, new_bn = gastnet_forward(params, ts.bn_state, batch_2d,
                                            cfg, variant=variant, train=True,
                                            rng=rng)
-            return mpjpe(pred, target), new_bn
+            # Per-sample weighted MPJPE: ragged final batches are padded to
+            # a fixed shape with zero-weight filler samples, so the loss (and
+            # its gradient) equals the reference's partial-batch mean while
+            # shapes stay jit-stable.
+            err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
+                           axis=(1, 2))
+            loss = jnp.sum(err * sample_weight) / jnp.sum(sample_weight)
+            return loss, new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts.params)

@@ -1,0 +1,21 @@
+from gastx.viz.animation import (
+    color_edge,
+    render_animation,
+    render_animation_multiperson,
+)
+from gastx.viz.video_io import (
+    downsample_tensor,
+    get_fps,
+    get_resolution,
+    read_video,
+)
+
+__all__ = [
+    "color_edge",
+    "render_animation",
+    "render_animation_multiperson",
+    "downsample_tensor",
+    "get_fps",
+    "get_resolution",
+    "read_video",
+]

@@ -62,13 +62,17 @@ def test_chunked_matches_reference(augment, chunk_length, pad, causal_shift):
                          [p.copy() for p in poses_2d], **kwargs)
 
     assert got.num_batches == ref.num_batches
-    ref_batches = list(ref.next_epoch())
-    got_batches = list(got.next_epoch())
-    assert len(ref_batches) == len(got_batches)
-    for (rc, r3, r2), (gc, g3, g2) in zip(ref_batches, got_batches):
+    n_ref = n_got = 0
+    # Compare lazily: the reference yields views into one reused buffer
+    # (common/generators.py:44-49), so batches must be checked before the
+    # next iteration overwrites them.
+    for (rc, r3, r2), (gc, g3, g2) in zip(ref.next_epoch(), got.next_epoch()):
         np.testing.assert_allclose(g2, r2, atol=1e-6)
         np.testing.assert_allclose(g3, r3, atol=1e-6)
         np.testing.assert_allclose(gc, rc[:len(gc)], atol=1e-6)
+        n_ref += len(r2)
+        n_got += len(g2)
+    assert n_ref == n_got > 0
 
 
 @requires_reference

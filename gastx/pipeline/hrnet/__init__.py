@@ -1,0 +1,36 @@
+from gastx.pipeline.hrnet.config import (
+    CfgNode,
+    default_config,
+    hrnet_extra,
+    update_config,
+)
+from gastx.pipeline.hrnet.model import (
+    fold_conv_bn,
+    hrnet_forward,
+    import_hrnet_params,
+)
+from gastx.pipeline.hrnet.transforms import (
+    box_to_center_scale,
+    crop,
+    get_affine_transform,
+    preprocess_boxes,
+    transform_preds,
+)
+from gastx.pipeline.hrnet.decode import get_final_preds, get_max_preds
+
+__all__ = [
+    "CfgNode",
+    "default_config",
+    "hrnet_extra",
+    "update_config",
+    "fold_conv_bn",
+    "hrnet_forward",
+    "import_hrnet_params",
+    "box_to_center_scale",
+    "crop",
+    "get_affine_transform",
+    "preprocess_boxes",
+    "transform_preds",
+    "get_final_preds",
+    "get_max_preds",
+]

@@ -1,0 +1,150 @@
+"""Video -> 2D keypoints: detection, tracking, HRNet pose estimation.
+
+Parity target: reference ``lib/pose/hrnet/pose_estimation/gen_kpts.py``:
+  * ``gen_video_kpts`` (:178-275): per frame YOLO person detection -> SORT
+    tracking -> keep the last ``num_person`` tracks (reversed) -> affine crops
+    -> HRNet heatmaps -> decoded keypoints; accumulates (T, M, 17, 2) and
+    returns (M, T, 17, 2) + scores.
+  * ``gen_img_kpts`` (:115-175): single-image API.
+  * ``generate_ntu_kpts_json`` (:278-358): skeleton-JSON writer.
+
+Quirk preserved: the reference normalizes the BGR crop with the RGB-ordered
+ImageNet constants and then swaps channels (gen_kpts.py:238 ``inputs[:,
+[2, 1, 0]]``); the swap happens here on the channels-last axis.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class Pose2DEstimator:
+    """Bundles YOLOv3 detection, SORT tracking and HRNet 2D pose."""
+
+    def __init__(self, yolo_weights: str, hrnet_weights: str,
+                 yolo_cfg: Optional[str] = None, det_dim: int = 416,
+                 hrnet_width: int = 48, image_size=(288, 384),
+                 confidence: float = 0.70):
+        import jax
+
+        from gastx.pipeline.hrnet import hrnet_extra, import_hrnet_params
+        from gastx.pipeline.hrnet.model import hrnet_forward
+        from gastx.pipeline.sort import Sort
+        from gastx.pipeline.yolo import YoloHumanDetector
+
+        self.detector = YoloHumanDetector(yolo_weights, yolo_cfg,
+                                          inp_dim=det_dim,
+                                          confidence=confidence)
+        self.extra = hrnet_extra(hrnet_width)
+        self.image_size = list(image_size)
+
+        import torch
+        blob = torch.load(hrnet_weights, map_location="cpu",
+                          weights_only=False)
+        if hasattr(blob, "state_dict"):
+            blob = blob.state_dict()
+        sd = {k.replace("module.", ""): v.detach().numpy()
+              for k, v in blob.items()}
+        self.hrnet_params = import_hrnet_params(sd, self.extra)
+        extra = self.extra
+        self._hrnet = jax.jit(
+            lambda p, x: hrnet_forward(p, x, extra))
+        self.tracker = Sort()
+
+    def estimate_frame(self, frame: np.ndarray, num_person: int = 1,
+                       track: bool = True):
+        """BGR frame -> (kpts (M, 17, 2), scores (M, 17, 1)) or None."""
+        from gastx.pipeline.hrnet import get_final_preds, preprocess_boxes
+
+        bboxs, det_scores = self.detector.detect(frame)
+        if bboxs is None or not bboxs.any():
+            return None
+
+        if track:
+            people_track = self.tracker.update(
+                np.concatenate([bboxs, det_scores], axis=1))
+            if people_track.shape[0] == 1:
+                boxes = people_track[-1:, :-1]
+            elif people_track.shape[0] >= 2:
+                boxes = people_track[-num_person:, :-1][::-1]
+            else:
+                return None
+        else:
+            boxes = bboxs[:num_person]
+
+        track_boxes = [[round(float(v), 2) for v in box] for box in boxes]
+        inputs, centers, scales = preprocess_boxes(
+            frame, track_boxes, self.image_size, num_person)
+        inputs = inputs[..., ::-1].copy()  # BGR->RGB after normalization
+
+        heatmaps = np.asarray(self._hrnet(self.hrnet_params, inputs))
+        heatmaps = np.transpose(heatmaps, (0, 3, 1, 2))  # NHWC -> NCHW
+        preds, maxvals = get_final_preds(heatmaps, np.asarray(centers),
+                                         np.asarray(scales))
+        return preds, maxvals
+
+
+def gen_video_kpts(video: str, yolo_weights: str, hrnet_weights: str,
+                   det_dim: int = 416, num_person: int = 1,
+                   yolo_cfg: Optional[str] = None,
+                   progress: bool = True
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Run the full 2D pipeline over a video. Returns ((M, T, 17, 2) kpts,
+    (M, T, 17) scores)."""
+    import cv2
+
+    estimator = Pose2DEstimator(yolo_weights, hrnet_weights, yolo_cfg,
+                                det_dim)
+    cap = cv2.VideoCapture(video)
+    assert cap.isOpened(), "Cannot capture source"
+    video_length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    frames = range(video_length)
+    if progress:
+        try:
+            from tqdm import tqdm
+            frames = tqdm(frames)
+        except ImportError:
+            pass
+
+    kpts_result: List[np.ndarray] = []
+    scores_result: List[np.ndarray] = []
+    for _ in frames:
+        ret, frame = cap.read()
+        if not ret:
+            continue
+        result = estimator.estimate_frame(frame, num_person)
+        if result is None:
+            continue
+        preds, maxvals = result
+
+        kpts = np.zeros((num_person, 17, 2), dtype=np.float32)
+        scores = np.zeros((num_person, 17), dtype=np.float32)
+        kpts[:len(preds)] = preds[:num_person]
+        scores[:len(maxvals)] = maxvals[:num_person, :, 0]
+        kpts_result.append(kpts)
+        scores_result.append(scores)
+    cap.release()
+
+    keypoints = np.array(kpts_result).transpose(1, 0, 2, 3)  # (M, T, 17, 2)
+    out_scores = np.array(scores_result).transpose(1, 0, 2)  # (M, T, 17)
+    return keypoints, out_scores
+
+
+def gen_img_kpts(image: np.ndarray, estimator: Pose2DEstimator,
+                 num_person: int = 1):
+    """Single-image 2D keypoints (gen_kpts.py:115-175 equivalent)."""
+    return estimator.estimate_frame(image, num_person, track=False)
+
+
+def generate_kpts_json(video_path: str, kpts_file: str, yolo_weights: str,
+                       hrnet_weights: str, num_person: int = 1,
+                       label: str = "unknown", label_index: int = -1) -> None:
+    """Write the skeleton-JSON format (gen_kpts.py:278-358 equivalent)."""
+    from gastx.data.keypoints_json import save_keypoints_json
+
+    keypoints, scores = gen_video_kpts(video_path, yolo_weights,
+                                       hrnet_weights,
+                                       num_person=num_person)
+    save_keypoints_json(kpts_file, keypoints, scores, label, label_index)

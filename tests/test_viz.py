@@ -1,0 +1,72 @@
+"""Animation renderer smoke tests (pillow GIF path — no ffmpeg needed)."""
+import os
+
+import numpy as np
+import pytest
+
+from gastx.skeleton import H36M_17
+from gastx.viz import (
+    color_edge,
+    downsample_tensor,
+    render_animation,
+    render_animation_multiperson,
+)
+
+
+def _poses(t=6, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    kpts = (rng.random((t, 17, 2)) * [640, 480]).astype(np.float32)
+    pose3d = rng.standard_normal((t, 17, 3)).astype(np.float32) * 0.3
+    pose3d[..., 2] += 0.8
+    return kpts, pose3d
+
+
+METADATA = {"keypoints_symmetry": (list(H36M_17.joints_left),
+                                   list(H36M_17.joints_right)),
+            "layout_name": "Human3.6M", "num_joints": 17}
+
+
+def test_render_animation_gif(tmp_path):
+    kpts, pose3d = _poses()
+    out = str(tmp_path / "anim.gif")
+    render_animation(kpts, METADATA, {"Reconstruction": pose3d},
+                     H36M_17.skeleton(), fps=5, bitrate=1000, azim=70.0,
+                     output=out, viewport=(640, 480), size=3)
+    assert os.path.getsize(out) > 1000
+
+
+def test_render_animation_mp4_fallback(tmp_path):
+    """Without ffmpeg, .mp4 output falls back to a .gif next to it."""
+    import shutil
+    if shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg present; fallback not exercised")
+    kpts, pose3d = _poses()
+    out = str(tmp_path / "anim.mp4")
+    render_animation(kpts, METADATA, {"Reconstruction": pose3d},
+                     H36M_17.skeleton(), fps=5, bitrate=1000, azim=70.0,
+                     output=out, viewport=(640, 480), size=3)
+    assert os.path.getsize(str(tmp_path / "anim.gif")) > 1000
+
+
+def test_render_multiperson_gif(tmp_path):
+    kpts1, pose1 = _poses(rng_seed=1)
+    kpts2, pose2 = _poses(rng_seed=2)
+    out = str(tmp_path / "multi.gif")
+    render_animation_multiperson(
+        np.stack([kpts1, kpts2]), METADATA, [pose1, pose2],
+        H36M_17.skeleton(), fps=5, bitrate=1000, azim=70.0, output=out,
+        viewport=(640, 480), size=3)
+    assert os.path.getsize(out) > 1000
+
+
+def test_color_edge_groups():
+    assert color_edge(5) == "peru"
+    assert color_edge(0) == "purple"
+    assert color_edge(7) == "olive"
+
+
+def test_downsample_tensor():
+    x = np.arange(12, dtype=np.float32).reshape(6, 2)
+    out = downsample_tensor(x, 2)
+    np.testing.assert_allclose(out[0], [1.0, 2.0])
+    assert out.shape == (3, 2)

@@ -28,15 +28,19 @@ from gastx.eval.protocol import evaluate_sequences, run_evaluation
 from gastx.models import GastNetConfig, init_gastnet, param_count
 
 
-def build_config(args, dataset) -> GastNetConfig:
+def build_config(args, dataset, in_features: int = 2) -> GastNetConfig:
+    """``in_features`` follows the 2D data's channel count — 2 for plain
+    keypoints, 3 when detections carry confidence scores (the reference takes
+    it from poses_valid_2d, main.py:166-171)."""
     filter_widths = tuple(int(x) for x in args.architecture.split(","))
     num_joints = dataset.skeleton().num_joints()
     layout = {17: "h36m17", 16: "sh16", 15: "humaneva15",
               19: "h36m19"}[num_joints]
     return GastNetConfig(
-        num_joints_in=num_joints, in_features=2, num_joints_out=num_joints,
-        filter_widths=filter_widths, channels=args.channels,
-        dropout=args.dropout, causal=args.causal, layout=layout)
+        num_joints_in=num_joints, in_features=in_features,
+        num_joints_out=num_joints, filter_widths=filter_widths,
+        channels=args.channels, dropout=args.dropout, causal=args.causal,
+        layout=layout)
 
 
 def main(argv=None):
@@ -66,7 +70,8 @@ def main(argv=None):
     cameras_valid, poses_valid, poses_valid_2d = fetch(
         subjects_test, action_filter, dataset, keypoints, args.downsample)
 
-    cfg = build_config(args, dataset)
+    cfg = build_config(args, dataset,
+                       in_features=poses_valid_2d[0].shape[-1])
     rf = cfg.receptive_field()
     pad = (rf - 1) // 2
     print(f"INFO: Receptive field: {rf} frames")
@@ -137,22 +142,31 @@ def main(argv=None):
         while epoch < args.epochs:
             start_time = time()
             loss_sum, n_frames = 0.0, 0
+            def prepare(batch):
+                # pad ragged tails with zero-weight samples; stage on device
+                _, batch_3d, batch_2d = batch
+                b = batch_2d.shape[0]
+                weights = np.zeros(full_batch, np.float32)
+                weights[:b] = 1.0
+                if b < full_batch:
+                    reps = full_batch - b
+                    batch_2d = np.concatenate(
+                        [batch_2d, np.repeat(batch_2d[-1:], reps, 0)])
+                    batch_3d = np.concatenate(
+                        [batch_3d, np.repeat(batch_3d[-1:], reps, 0)])
+                (b2, b3, w), _ = shard_batch(
+                    mesh, batch_2d.astype(np.float32),
+                    batch_3d.astype(np.float32), weights)
+                return b2, b3, w, b
+
+            from gastx.data.prefetch import prefetch_to_device
+
             profile_dir = (args.profile_dir or None) if epoch == 0 else None
             with capture_trace(profile_dir), mesh:
-                for bi, (_, batch_3d, batch_2d) in enumerate(
-                        train_batcher.next_epoch()):
-                    b = batch_2d.shape[0]
-                    weights = np.zeros(full_batch, np.float32)
-                    weights[:b] = 1.0
-                    if b < full_batch:
-                        reps = full_batch - b
-                        batch_2d = np.concatenate(
-                            [batch_2d, np.repeat(batch_2d[-1:], reps, 0)])
-                        batch_3d = np.concatenate(
-                            [batch_3d, np.repeat(batch_3d[-1:], reps, 0)])
-                    (b2, b3, w), _ = shard_batch(
-                        mesh, batch_2d.astype(np.float32),
-                        batch_3d.astype(np.float32), weights)
+                # double-buffered: next batch assembles + stages while the
+                # current step runs (SURVEY.md §2.7)
+                for bi, (b2, b3, w, b) in enumerate(prefetch_to_device(
+                        train_batcher.next_epoch(), prepare)):
                     with prof("train_step"):
                         ts, loss = step(ts, b2, b3, w, jnp.float32(lr),
                                         jax.random.fold_in(

@@ -29,6 +29,11 @@ class GastNetConfig:
     causal: bool = False
     dense: bool = False
     layout: str = "h36m17"
+    # Matmul/conv precision. TPU's DEFAULT multiplies fp32 operands at
+    # bf16 precision (~1e-2 relative) — far outside the 0.1mm parity budget,
+    # so the parity-true default is "highest" (3-pass fp32 on the MXU).
+    # Set "default" for the fast bf16-matmul mode.
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         for fw in self.filter_widths:

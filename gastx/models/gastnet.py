@@ -53,6 +53,13 @@ def gastnet_forward(
     if train and cfg.dropout > 0.0:
         assert rng is not None, "rng required for dropout in train mode"
 
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _forward(params, state, x, cfg, variant=variant, train=train,
+                        rng=rng)
+
+
+def _forward(params, state, x, cfg, *, variant, train, rng):
+
     statics = graph_statics(cfg.layout)
     fw = cfg.filter_widths
     pads = cfg.pads()

@@ -1,0 +1,38 @@
+"""Prefetching input-pipeline tests."""
+import time
+
+import numpy as np
+import pytest
+
+from gastx.data.prefetch import prefetch_to_device
+
+
+def test_prefetch_preserves_order_and_values():
+    items = list(range(20))
+    out = list(prefetch_to_device(iter(items), lambda x: x * 2))
+    assert out == [x * 2 for x in items]
+
+
+def test_prefetch_overlaps_producer_and_consumer():
+    def slow_source():
+        for i in range(6):
+            time.sleep(0.05)
+            yield i
+
+    t0 = time.perf_counter()
+    for _ in prefetch_to_device(slow_source(), lambda x: x):
+        time.sleep(0.05)  # consumer work
+    elapsed = time.perf_counter() - t0
+    # serial would be ~0.6s; overlapped ~0.35s
+    assert elapsed < 0.52
+
+
+def test_prefetch_propagates_exceptions():
+    def bad_source():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch_to_device(bad_source(), lambda x: x)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        list(it)

@@ -54,7 +54,7 @@ def run(args) -> np.ndarray:
     from gastx.infer.streaming import StreamingLifter
     from gastx.models import config_for_frames, init_gastnet
     from gastx.pipeline import revise_skes_real_time
-    from gastx.pipeline.keypoint_revision import h36m_coco_format
+    from gastx.pipeline.keypoint_revision import h36m_coco_kpts
     from gastx.pipeline.video_pose2d import Pose2DEstimator
     from gastx.viz.draw2d import draw_keypoints
 
@@ -97,13 +97,23 @@ def run(args) -> np.ndarray:
         preds, maxvals = result  # (M, 17, 2), (M, 17, 1)
 
         kpts = np.zeros((args.num_person, 17, 2), np.float32)
-        scores = np.zeros((args.num_person, 17), np.float32)
+        scores = np.zeros((args.num_person, 17, 1), np.float32)
         kpts[:len(preds)] = preds[:args.num_person]
-        scores[:len(maxvals)] = maxvals[:args.num_person, :, 0]
+        scores[:len(maxvals)] = maxvals[:args.num_person]
 
-        h36m_kpts, h36m_scores, _ = h36m_coco_format(kpts[:, None],
-                                                     scores[:, None])
-        frame_kpts = h36m_kpts[:, 0]  # (M, 17, 2)
+        # per-frame converter + revision (the reference real-time path,
+        # tools/utils.py:133-175); refill dropped zero-persons so the
+        # streaming window keeps a fixed (num_person, ...) shape
+        converted_k, converted_s = h36m_coco_kpts(kpts, scores)
+        if not converted_k:
+            continue
+        frame_kpts = np.zeros((args.num_person, 17, 2), np.float32)
+        frame_scores = np.zeros((args.num_person, 17), np.float32)
+        nonzero = [p for p in range(args.num_person)
+                   if np.sum(kpts[p]) != 0.0]
+        for row, p in enumerate(nonzero):
+            frame_kpts[p] = converted_k[row]
+            frame_scores[p] = converted_s[row]
         norm = np.asarray(normalize_screen_coordinates(
             frame_kpts, w=width, h=height), dtype=np.float32)
 
@@ -112,7 +122,7 @@ def run(args) -> np.ndarray:
         all_poses.append(placed)
 
         if args.display:
-            overlay = draw_keypoints(frame, frame_kpts, scores=h36m_scores[:, 0])
+            overlay = draw_keypoints(frame, frame_kpts, scores=frame_scores)
             cv2.imshow("gastx realtime", overlay)
             if cv2.waitKey(1) & 0xFF == ord("q"):
                 break

@@ -124,6 +124,72 @@ def revise_skes(prediction: List[np.ndarray], re_kpts: np.ndarray,
     return new_prediction
 
 
+def coco_h36m_frame(keypoints: np.ndarray) -> np.ndarray:
+    """Single-frame COCO-17 -> H36M-17 converter used by the reference's
+    REAL-TIME path (tools/utils.py:107-130 / the hrnet-side copy at
+    lib/pose/hrnet/lib/utils/coco_h36m.py).
+
+    NOTE: deliberately uses the 0.3 spine-x factor of that copy — the
+    offline lifting path uses the 2x copy in :mod:`gastx.data.converters`
+    (SURVEY.md §7 "known reference bugs": two divergent copies exist
+    upstream; behavior is preserved per call-site).
+    """
+    out = np.zeros_like(keypoints, dtype=np.float32)
+    synth = np.zeros((4, 2), dtype=np.float32)
+
+    synth[0, 0] = np.mean(keypoints[1:5, 0], dtype=np.float32)
+    synth[0, 1] = np.sum(keypoints[1:3, 1], dtype=np.float32) - keypoints[0, 1]
+    synth[1] = np.mean(keypoints[5:7], axis=0, dtype=np.float32)
+    synth[1] += (keypoints[0] - synth[1]) / 3
+    synth[2] = np.mean(keypoints[11:13], axis=0, dtype=np.float32)
+    synth[3] = np.mean(keypoints[[5, 6, 11, 12]], axis=0, dtype=np.float32)
+
+    from gastx.data.converters import _COCO_ORDER as CO
+    from gastx.data.converters import _H36M_COCO_ORDER as HCO
+    from gastx.data.converters import _SYNTH_KEYPOINTS as SK
+    out[SK] = synth
+    out[HCO] = keypoints[CO]
+
+    out[9] -= (out[9] - np.mean(keypoints[5:7], axis=0,
+                                dtype=np.float32)) / 4
+    out[7, 0] += 0.3 * (out[7, 0] - np.mean(out[[0, 8], 0],
+                                            dtype=np.float32))
+    out[8, 1] -= (np.mean(keypoints[1:3, 1], dtype=np.float32)
+                  - keypoints[0, 1]) * 2 / 3
+    return out
+
+
+def h36m_coco_kpts(keypoints: np.ndarray, scores: np.ndarray
+                   ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Per-frame multi-person converter + low-confidence revision for the
+    real-time path (tools/utils.py:133-175). ``keypoints``: (M, 17, C);
+    ``scores``: (M, 17, 1). Persons with all-zero detections are dropped."""
+    assert keypoints.ndim == 3 and scores.ndim == 3
+
+    h36m_kpts, h36m_scores = [], []
+    for kpts, score in zip(keypoints, scores[..., 0]):
+        if np.sum(kpts) == 0.0:
+            continue
+        new_score = np.zeros_like(score, dtype=np.float32)
+        new_score[_H36M_COCO_ORDER] = score[_COCO_ORDER]
+        new_score[0] = np.mean(score[[11, 12]], dtype=np.float32)
+        new_score[8] = np.mean(score[[5, 6]], dtype=np.float32)
+        new_score[7] = np.mean(new_score[[0, 8]], dtype=np.float32)
+        new_score[10] = np.mean(score[[1, 2, 3, 4]], dtype=np.float32)
+        h36m_scores.append(new_score)
+
+        kpts = coco_h36m_frame(kpts)
+        low = set(np.where(new_score < 0.3)[0].tolist())
+        intersect = [j for j in [2, 3, 5, 6] if j in low]
+        for targets, sources in _REVISION_CASES:
+            if intersect == targets:
+                kpts[targets] = kpts[sources]
+                break
+        h36m_kpts.append(kpts)
+
+    return h36m_kpts, h36m_scores
+
+
 def revise_skes_real_time(prediction: List[np.ndarray], re_kpts: np.ndarray,
                           width: int) -> np.ndarray:
     """Streaming variant: place each person from the current frame's anchors."""

@@ -127,3 +127,34 @@ def test_revise_skes_matches_reference():
     got = revise_skes([p.copy() for p in preds], ref_k.copy(),
                       [v.copy() for v in valid])
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@requires_reference
+def test_realtime_frame_converters_match_reference():
+    """coco_h36m_frame / h36m_coco_kpts (0.3-spine realtime copies) match
+    tools/utils.py:107-175."""
+    import_reference()
+    from tools.utils import (coco_h36m_frame as ref_frame,
+                             h36m_coco_kpts as ref_kpts)
+
+    from gastx.pipeline.keypoint_revision import (coco_h36m_frame,
+                                                  h36m_coco_kpts)
+
+    rng = np.random.default_rng(5)
+    kpts = (rng.random((2, 17, 2)) * 640 + 1).astype(np.float32)
+    scores = (rng.random((2, 17, 1)) * 0.6 + 0.35).astype(np.float32)
+    scores[0, [2, 5], 0] = 0.1  # trigger a revision case
+
+    np.testing.assert_allclose(coco_h36m_frame(kpts[0].copy()),
+                               ref_frame(kpts[0].copy()), atol=1e-4)
+
+    ref_k, ref_s = ref_kpts(kpts.copy(), scores.copy())
+    got_k, got_s = h36m_coco_kpts(kpts.copy(), scores.copy())
+    assert len(got_k) == len(ref_k)
+    for a, b in zip(got_k, ref_k):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    # values only: the reference's `scores.squeeze(axis=2)` is a no-op bug
+    # (result discarded), leaving its scores (17, 1); gastx returns the
+    # intended (17,)
+    for a, b in zip(got_s, ref_s):
+        np.testing.assert_allclose(np.ravel(a), np.ravel(b), atol=1e-6)

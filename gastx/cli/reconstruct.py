@@ -79,6 +79,9 @@ def reconstruct(args) -> np.ndarray:
     from gastx.models import config_for_frames, init_gastnet
     from gastx.skeleton import get_layout
 
+    if not os.path.exists(args.keypoints_file):
+        raise SystemExit(f"error: keypoints file not found: "
+                         f"{args.keypoints_file}")
     print("Loading 2D keypoints ...")
     keypoints, scores, _, _ = load_keypoints_json(args.keypoints_file,
                                                   args.num_joints)
@@ -114,6 +117,11 @@ def reconstruct(args) -> np.ndarray:
     else:
         chk_file = (args.weight if os.path.exists(args.weight)
                     else os.path.join(args.checkpoint_dir, args.weight))
+        if not os.path.exists(chk_file):
+            raise SystemExit(
+                f"error: checkpoint not found: {chk_file} (download the "
+                f"published weights or pass --random-weights for a smoke "
+                f"test)")
         print("Loading checkpoint", chk_file)
         params, state = load_weights(chk_file, cfg)
 

@@ -153,9 +153,19 @@ def make_yolo_forward(blocks: List[Dict], inp_dim: int = 416):
             elif t == "maxpool":
                 size = int(blk["size"])
                 stride = int(blk["stride"])
-                x = jax.lax.reduce_window(
-                    x, -jnp.inf, jax.lax.max, (1, size, size, 1),
-                    (1, stride, stride, 1), "SAME")
+                if stride == 1:
+                    # darknet MaxPoolStride1: replicate-pad right/bottom by
+                    # size-1 then VALID pool (darknet.py:70-78)
+                    p = size - 1
+                    x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)),
+                                mode="edge")
+                    x = jax.lax.reduce_window(
+                        x, -jnp.inf, jax.lax.max, (1, size, size, 1),
+                        (1, 1, 1, 1), "VALID")
+                else:
+                    x = jax.lax.reduce_window(
+                        x, -jnp.inf, jax.lax.max, (1, size, size, 1),
+                        (1, stride, stride, 1), "VALID")
             elif t == "route":
                 layers = [int(v) for v in blk["layers"].split(",")]
                 layers = [l if l < 0 else l - i for l in layers]

@@ -97,8 +97,17 @@ def generate_skeletons(args) -> np.ndarray:
     ]
     predictions = lift_to_world(params, state, norm_seqs, cfg, tta=True)
 
-    # Re-inject trajectory + inter-person placement, rebase height.
-    full_pred = revise_skes(predictions, re_kpts, valid_frames)
+    # Pseudo-trajectory + inter-person placement only for 2-person scenes;
+    # single-person output just rebases the height (gen_skes.py:133-138).
+    if len(predictions) == 2:
+        full_pred = revise_skes(predictions, re_kpts, valid_frames)
+    else:
+        full_pred = np.zeros((len(predictions), re_kpts.shape[1], 17, 3),
+                             dtype=np.float32)
+        for i, frames in enumerate(valid_frames):
+            pred = predictions[i]
+            pred[:, :, 2] -= np.amin(pred[:, :, 2])
+            full_pred[i, frames] = pred
 
     os.makedirs(args.output_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.video))[0]

@@ -142,14 +142,19 @@ def main(argv=None):
         while epoch < args.epochs:
             start_time = time()
             loss_sum, n_frames = 0.0, 0
+            n_dev = mesh.devices.size
+            # one fixed shape for every batch: full_batch rounded up to the
+            # mesh size, so shard_batch never injects weight-1 duplicates
+            padded_batch = -(-full_batch // n_dev) * n_dev
+
             def prepare(batch):
                 # pad ragged tails with zero-weight samples; stage on device
                 _, batch_3d, batch_2d = batch
                 b = batch_2d.shape[0]
-                weights = np.zeros(full_batch, np.float32)
+                weights = np.zeros(padded_batch, np.float32)
                 weights[:b] = 1.0
-                if b < full_batch:
-                    reps = full_batch - b
+                if b < padded_batch:
+                    reps = padded_batch - b
                     batch_2d = np.concatenate(
                         [batch_2d, np.repeat(batch_2d[-1:], reps, 0)])
                     batch_3d = np.concatenate(

@@ -164,7 +164,9 @@ def compute_h36m_gt_2d(dataset_path: str = "data_3d_h36m.npz",
     from gastx.geometry import (image_coordinates, project_to_2d,
                                 world_to_camera)
 
-    dataset = Human36mDataset(dataset_path, remove_static_joints=False)
+    # default joint reduction -> 17-joint GT 2D, matching the reference's
+    # Human36mDataset(...) default (data/prepare_data_h36m.py:109)
+    dataset = Human36mDataset(dataset_path)
     out: Dict[str, Dict[str, List[np.ndarray]]] = {}
     for subject in dataset.subjects():
         out[subject] = {}

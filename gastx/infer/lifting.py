@@ -108,6 +108,11 @@ def lift_sequences(
             gather = np.clip(np.arange(-(pad + shift), bucket - pad - shift),
                              0, t - 1)
             batch.append(seq[gather])
+        # Bucket the batch-count axis too (next power of two) so _lift_batch
+        # compiles once per (bucket, count-bucket), not per distinct count.
+        m = len(batch)
+        m_pad = 1 << (m - 1).bit_length()
+        batch.extend([np.zeros_like(batch[0])] * (m_pad - m))
         x = jnp.asarray(np.stack(batch))
         y = np.asarray(_lift_batch(params, state, x, cfg, tta))
         for row, i in enumerate(idxs):

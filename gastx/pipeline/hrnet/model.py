@@ -60,7 +60,6 @@ def import_hrnet_params(sd: Dict[str, np.ndarray], extra: Dict,
         if f"{base}.downsample.0.weight" in sd:
             cb(f"{base}.downsample.0", f"{base}.downsample.1")
 
-    prev_branches = 1
     for s, stage_key in ((2, "STAGE2"), (3, "STAGE3"), (4, "STAGE4")):
         spec = extra[stage_key]
         n_br = spec["NUM_BRANCHES"]
@@ -94,7 +93,6 @@ def import_hrnet_params(sd: Dict[str, np.ndarray], extra: Dict,
                         while f"{base}.{k}.0.weight" in sd:
                             cb(f"{base}.{k}.0", f"{base}.{k}.1")
                             k += 1
-        prev_branches = n_br
 
     params["final_layer"] = {
         "w": jnp.asarray(np.transpose(sd["final_layer.weight"],

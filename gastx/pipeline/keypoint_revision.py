@@ -19,10 +19,12 @@ from typing import List, Tuple
 
 import numpy as np
 
-from gastx.data.converters import coco_h36m
-
-_H36M_COCO_ORDER = [9, 11, 14, 12, 15, 13, 16, 4, 1, 5, 2, 6, 3]
-_COCO_ORDER = [0, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+from gastx.data.converters import (
+    _COCO_ORDER,
+    _H36M_COCO_ORDER,
+    _SYNTH_KEYPOINTS,
+    coco_h36m,
+)
 RATIO_2D_3D = 500.0
 # hips + shoulders: the anchor joints for trajectory estimation
 _ANCHOR_JOINTS = [1, 4, 11, 14]
@@ -144,11 +146,8 @@ def coco_h36m_frame(keypoints: np.ndarray) -> np.ndarray:
     synth[2] = np.mean(keypoints[11:13], axis=0, dtype=np.float32)
     synth[3] = np.mean(keypoints[[5, 6, 11, 12]], axis=0, dtype=np.float32)
 
-    from gastx.data.converters import _COCO_ORDER as CO
-    from gastx.data.converters import _H36M_COCO_ORDER as HCO
-    from gastx.data.converters import _SYNTH_KEYPOINTS as SK
-    out[SK] = synth
-    out[HCO] = keypoints[CO]
+    out[_SYNTH_KEYPOINTS] = synth
+    out[_H36M_COCO_ORDER] = keypoints[_COCO_ORDER]
 
     out[9] -= (out[9] - np.mean(keypoints[5:7], axis=0,
                                 dtype=np.float32)) / 4

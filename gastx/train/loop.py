@@ -61,9 +61,12 @@ def make_train_step(
                                            cfg, variant=variant, train=True,
                                            rng=rng)
             # Per-sample weighted MPJPE: ragged final batches are padded to
-            # a fixed shape with zero-weight filler samples, so the loss (and
-            # its gradient) equals the reference's partial-batch mean while
-            # shapes stay jit-stable.
+            # a fixed shape with zero-weight filler samples, so the loss and
+            # its direct gradient equal the reference's partial-batch mean
+            # while shapes stay jit-stable. (Filler rows do still enter
+            # train-mode BN batch statistics — a small, documented
+            # divergence on the final batch of each epoch, alongside the
+            # global-batch-BN one; see PARITY.md.)
             err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
                            axis=(1, 2))
             loss = jnp.sum(err * sample_weight) / jnp.sum(sample_weight)

@@ -1,4 +1,5 @@
 from gastx.parallel.mesh import (
+    init_distributed,
     DATA_AXIS,
     make_mesh,
     batch_sharding,
@@ -8,6 +9,7 @@ from gastx.parallel.mesh import (
 )
 
 __all__ = [
+    "init_distributed",
     "DATA_AXIS",
     "make_mesh",
     "batch_sharding",

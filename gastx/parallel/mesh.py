@@ -22,6 +22,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX before building the mesh.
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly elsewhere. After this, ``jax.devices()`` spans every
+    host's chips and :func:`make_mesh` produces a pod-wide DP mesh — the
+    train step itself is unchanged (SPMD is multi-host-transparent).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over all visible devices (or a given list)."""

@@ -66,11 +66,12 @@ def _kernel(x_ref, theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
         attn = attn + ck_ref[k * j:(k + 1) * j, :]     # (Jq, Jm) bias
 
         gk = gx[:, :, k * g_ch:(k + 1) * g_ch]         # (TM, Jm, G)
-        acc = None
-        for m in range(j):
-            term = attn[:, :, m:m + 1] * gk[:, m:m + 1, :]
-            acc = term if acc is None else acc + term
-        head_outs.append(acc)                          # (TM, Jq, G)
+        # attention application as ONE TM-batched (J,J)@(J,G) dot_general —
+        # Mosaic lowers this in-VMEM (an unrolled per-key FMA loop compiles
+        # but blows up remote-compiler time at 4 heads x 17 keys)
+        head_outs.append(jax.lax.dot_general(
+            attn, gk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))       # (TM, Jq, G)
 
     y = jnp.concatenate(head_outs, axis=2)             # (TM, Jq, K*G)
     y = jnp.dot(y.reshape(tm * j, num_heads * g_ch), cat_w_ref[:],

@@ -36,6 +36,26 @@ class GastNetConfig:
     # is the parity default. Set "default" for the fastest mode, "highest"
     # for bit-level studies.
     matmul_precision: str = "high"
+    # Per-op-class precision overrides: tuple of (op_class, precision) pairs
+    # that beat matmul_precision for specific op classes. Op classes:
+    # expand / temporal / mid1x1 / shrink / gab_cat / local_sem / local_off /
+    # local_cat / attn_proj / attn_score / attn_apply / attn_cat. A class may
+    # be level-qualified ("gab1.attn_proj", "lvl2.temporal"); the qualified
+    # entry wins over the bare class.
+    precision_overrides: Tuple[Tuple[str, str], ...] = ()
+    # Attention / local-graph layout implementations (see gastx/ops/graph.py
+    # docstrings). "batched" kills the 4-D small-lane (M, J, J, K) attention
+    # tensor; "gather" avoids the channel-batched adjacency matmul.
+    attn_impl: str = "einsum"
+    local_impl: str = "einsum"
+
+    def precision_for(self, op_class: str):
+        """Override precision for an op class, or None to inherit the
+        jax.default_matmul_precision context (= matmul_precision)."""
+        for name, prec in self.precision_overrides:
+            if name == op_class:
+                return prec
+        return None
 
     def __post_init__(self):
         for fw in self.filter_widths:

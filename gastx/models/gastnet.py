@@ -64,6 +64,15 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     fw = cfg.filter_widths
     pads = cfg.pads()
     shifts = cfg.causal_shifts(variant)
+    prec = cfg.precision_for
+
+    def level_prec(tag: str):
+        """Resolver with a level-qualified override (e.g. "gab1.attn_proj")
+        taking priority over the bare op class."""
+        def p(op: str):
+            v = cfg.precision_for(f"{tag}.{op}")
+            return v if v is not None else cfg.precision_for(op)
+        return p
 
     def block_rng(i: int):
         return jax.random.fold_in(rng, i) if rng is not None else None
@@ -73,7 +82,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     y, new_state["init_bn"] = batch_norm(
         x, params["init_bn"], state["init_bn"], train=train)
     y = temporal_conv(y, params["expand_conv"]["w"],
-                      stride=fw[0] if variant == "strided" else 1)
+                      stride=fw[0] if variant == "strided" else 1,
+                      precision=prec("expand"))
     y, new_state["expand_bn"] = batch_norm(
         y, params["expand_bn"], state["expand_bn"], train=train)
     y = jax.nn.relu(y)
@@ -81,7 +91,9 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     gab_states = []
     y, s_gab = graph_attention_block(
         y, params["gabs"][0], state["gabs"][0], statics,
-        train=train, dropout_rate=cfg.dropout, rng=block_rng(0))
+        train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
+        attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
+        prec=level_prec("gab0"))
     gab_states.append(s_gab)
 
     temporal_states = []
@@ -90,18 +102,21 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
         blk_p = params["temporal"][i - 1]
         blk_s = state["temporal"][i - 1]
 
+        lp = level_prec(f"lvl{i}")
         if variant == "strided":
             res = y[:, shifts[i] + fw[i] // 2:: fw[i]]
-            z = temporal_conv(y, blk_p["conv_t"]["w"], stride=fw[i])
+            z = temporal_conv(y, blk_p["conv_t"]["w"], stride=fw[i],
+                              precision=lp("temporal"))
         else:
             pad, shift = pads[i], shifts[i]
             res = y[:, pad + shift: y.shape[1] - pad + shift]
             z = temporal_conv(y, blk_p["conv_t"]["w"],
-                              dilation=1 if cfg.dense else next_dilation)
+                              dilation=1 if cfg.dense else next_dilation,
+                              precision=lp("temporal"))
 
         z, s_t = batch_norm(z, blk_p["bn_t"], blk_s["bn_t"], train=train)
         z = jax.nn.relu(z)
-        z = pointwise(z, blk_p["conv_1"]["w"])
+        z = pointwise(z, blk_p["conv_1"]["w"], precision=lp("mid1x1"))
         z, s_1 = batch_norm(z, blk_p["bn_1"], blk_s["bn_1"], train=train)
         z = jax.nn.relu(z)
         if train and cfg.dropout > 0.0:
@@ -110,13 +125,15 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
 
         y, s_gab = graph_attention_block(
             y, params["gabs"][i], state["gabs"][i], statics,
-            train=train, dropout_rate=cfg.dropout, rng=block_rng(i))
+            train=train, dropout_rate=cfg.dropout, rng=block_rng(i),
+            attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
+            prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})
         gab_states.append(s_gab)
         next_dilation *= fw[i]
 
-    y = pointwise(y, params["shrink"]["w"])
+    y = pointwise(y, params["shrink"]["w"], precision=prec("shrink"))
 
     new_state["temporal"] = tuple(temporal_states)
     new_state["gabs"] = tuple(gab_states)

@@ -26,7 +26,8 @@ functionally. ``train`` must be a static (Python) bool under jit.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import functools
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +39,49 @@ from gastx.ops.batchnorm import batch_norm
 # (model/local_attention.py:40); intentionally not -inf for fp32 parity.
 _MASK_FILL = -9e15
 
+# Per-op-class precision resolver: maps an op-class name (e.g. "attn_proj")
+# to a jax matmul precision string, or None to inherit the enclosing
+# jax.default_matmul_precision context.
+PrecFn = Callable[[str], Optional[str]]
+
+
+def _no_override(_op: str) -> Optional[str]:
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _local_gather_tables(mask_idx: Tuple[int, ...], j: int):
+    """Static padded-degree neighbor tables for the gather-based graph conv.
+
+    From the flat row-major nonzero indices of a (J, J) adjacency, build
+    (J, D) tables where D is the max row degree: ``slot`` indexes into the
+    nnz axis of the edge-logit tensor (pad -> a -inf extra slot), ``col`` is
+    the neighbor joint index, ``is_diag`` marks the self-loop entry.
+    """
+    idx = np.asarray(mask_idx, np.int64)
+    rows, cols = idx // j, idx % j
+    per_row = [np.flatnonzero(rows == r) for r in range(j)]
+    d = max(len(p) for p in per_row)
+    nnz = len(idx)
+    slot = np.full((j, d), nnz, np.int32)        # pad slot = extra -inf row
+    col = np.zeros((j, d), np.int32)
+    valid = np.zeros((j, d), bool)
+    for r, p in enumerate(per_row):
+        slot[r, : len(p)] = p
+        col[r, : len(p)] = cols[p]
+        valid[r, : len(p)] = True
+    is_diag = valid & (col == np.arange(j)[:, None])
+    return slot, col, valid, is_diag
+
 
 def sem_ch_graph_conv(
     x: jnp.ndarray,
     params: Dict[str, jnp.ndarray],
     mask_idx: np.ndarray,
     num_joints: int,
+    *,
+    impl: str = "einsum",
+    prec: PrecFn = _no_override,
 ) -> jnp.ndarray:
     """Channel-wise semantic graph conv.
 
@@ -51,22 +89,44 @@ def sem_ch_graph_conv(
     matrices, e (Cout, nnz) learnable edge logits, optional bias (Cout,).
     ``mask_idx``: static flat row-major indices of adjacency nonzeros (the
     ordering matches ``torch.nonzero`` so imported ``e`` tensors line up).
+
+    ``impl="einsum"`` materializes the per-channel (C, J, J) adjacency and
+    contracts it with a channel-batched einsum. ``impl="gather"`` exploits
+    that the masked-softmax rows are sparse (row degree <= ~5): it softmaxes
+    only the nonzero segments (bit-identical — the -9e15 fills underflow to
+    exact zeros) and aggregates neighbors with a static padded-degree gather,
+    avoiding the channel-major transposes of the batched matmul. Both are
+    numerically equivalent to the reference model/local_attention.py:35-53.
     """
     w0, w1, e = params["W0"], params["W1"], params["e"]
     c_out = w0.shape[1]
     j = num_joints
 
-    h0 = jnp.matmul(x, w0)
-    h1 = jnp.matmul(x, w1)
+    h0 = jnp.matmul(x, w0, precision=prec("local_sem"))
+    h1 = jnp.matmul(x, w1, precision=prec("local_sem"))
 
-    logits = jnp.full((c_out, j * j), _MASK_FILL, dtype=x.dtype)
-    logits = logits.at[:, mask_idx].set(e.astype(x.dtype))
-    adj = jax.nn.softmax(logits.reshape(c_out, j, j), axis=2)
+    if impl == "gather":
+        slot, col, valid, is_diag = _local_gather_tables(
+            tuple(int(i) for i in np.asarray(mask_idx)), j)
+        e_t = jnp.concatenate(
+            [e.T.astype(x.dtype),
+             jnp.full((1, c_out), -jnp.inf, x.dtype)], axis=0)  # (nnz+1, C)
+        logits = e_t[slot]                                      # (J, D, C)
+        w = jax.nn.softmax(logits, axis=1)
+        w_self = jnp.sum(jnp.where(is_diag[..., None], w, 0.0), axis=1)
+        w_nbr = jnp.where((valid & ~is_diag)[..., None], w, 0.0)
+        gathered = h1[:, :, col, :]                     # (B, T, J, D, C)
+        out = h0 * w_self + jnp.sum(gathered * w_nbr, axis=-2)
+    else:
+        logits = jnp.full((c_out, j * j), _MASK_FILL, dtype=x.dtype)
+        logits = logits.at[:, mask_idx].set(e.astype(x.dtype))
+        adj = jax.nn.softmax(logits.reshape(c_out, j, j), axis=2)
 
-    diag = jnp.diagonal(adj, axis1=1, axis2=2)          # (C, J)
-    off = adj * (1.0 - jnp.eye(j, dtype=x.dtype))       # (C, J, J)
+        diag = jnp.diagonal(adj, axis1=1, axis2=2)          # (C, J)
+        off = adj * (1.0 - jnp.eye(j, dtype=x.dtype))       # (C, J, J)
 
-    out = h0 * diag.T + jnp.einsum("cjk,btkc->btjc", off, h1)
+        out = h0 * diag.T + jnp.einsum("cjk,btkc->btjc", off, h1,
+                                       precision=prec("local_off"))
     if "bias" in params:
         out = out + params["bias"]
     return out
@@ -87,18 +147,23 @@ def local_graph(
     train: bool,
     dropout_rate: float,
     rng=None,
+    impl: str = "einsum",
+    prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Two-branch (mirror-symmetry + kinematic-connection) local module."""
     j = statics.num_joints
-    a = sem_ch_graph_conv(x, params["sym"], statics.sym_idx, j)
-    b = sem_ch_graph_conv(x, params["con"], statics.con_idx, j)
+    a = sem_ch_graph_conv(x, params["sym"], statics.sym_idx, j,
+                          impl=impl, prec=prec)
+    b = sem_ch_graph_conv(x, params["con"], statics.con_idx, j,
+                          impl=impl, prec=prec)
 
     a, s_bn1 = batch_norm(a, params["bn_sym"], state["bn_sym"], train=train)
     b, s_bn2 = batch_norm(b, params["bn_con"], state["bn_con"], train=train)
     a = jax.nn.relu(a)
     b = jax.nn.relu(b)
 
-    y = jnp.matmul(jnp.concatenate([a, b], axis=-1), params["cat_w"])
+    y = jnp.matmul(jnp.concatenate([a, b], axis=-1), params["cat_w"],
+                   precision=prec("local_cat"))
     y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"], train=train)
     y = jax.nn.relu(y)
     if train and dropout_rate > 0.0:
@@ -116,6 +181,8 @@ def multi_global_graph(
     train: bool,
     dropout_rate: float,
     rng=None,
+    impl: str = "einsum",
+    prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Multi-head non-local attention over joints, all heads batched.
 
@@ -124,12 +191,21 @@ def multi_global_graph(
     reference's ``concat_project`` 1x1-conv weight — and C_k (K, J, J)
     learnable attention biases.
 
-    Layout strategy (measured ~1.6x over the naive head-batched einsums on
-    v5e): activations stay flat (B*T*J, C) channels-last through the three
-    projections and the output matmul — no (b, k, j, i) intermediates to
-    transpose — and the per-head rank-1 scores come from block-diagonal
-    projection matrices so they are plain matmuls too. Only the tiny
-    (M, Jq, Jm, K) attention tensor is 4-D.
+    Shared layout strategy: activations stay flat (B*T*J, C) channels-last
+    through the three projections and the output matmul — no (b, k, j, i)
+    intermediates to transpose — and the per-head rank-1 scores come from
+    block-diagonal projection matrices so they are plain matmuls too.
+
+    The two impls differ in how the attention tensor is laid out:
+
+    * ``impl="einsum"`` builds one 4-D (M, Jq, Jm, K) score tensor and
+      applies it with a (m, k)-batched einsum. The K=4 lane axis pads to
+      128 on TPU, so this tensor costs ~32x its logical HBM footprint and
+      the einsum forces (m,k)-batched relayouts.
+    * ``impl="batched"`` unrolls the K heads (trace-time loop): per head the
+      scores are a 3-D (M, Jq, Jm) tensor — Jm lives in lanes, softmax is a
+      lane reduction — and the application is a single M-batched
+      (Jq,Jm)@(Jm,G) dot_general. ~4x less padded attention traffic.
     """
     b_, t_, j_, c_ = x.shape
     k, _, i = params["theta_w"].shape
@@ -140,11 +216,14 @@ def multi_global_graph(
     def cols(w, width):  # (K, C, width) -> (C, K*width), head-major columns
         return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
 
-    theta = jnp.matmul(xf, cols(params["theta_w"], i)) + \
+    theta = jnp.matmul(xf, cols(params["theta_w"], i),
+                       precision=prec("attn_proj")) + \
         params["theta_b"].reshape(k * i)
-    phi = jnp.matmul(xf, cols(params["phi_w"], i)) + \
+    phi = jnp.matmul(xf, cols(params["phi_w"], i),
+                     precision=prec("attn_proj")) + \
         params["phi_b"].reshape(k * i)
-    gx = jnp.matmul(xf, cols(params["g_w"], g_ch)) + \
+    gx = jnp.matmul(xf, cols(params["g_w"], g_ch),
+                    precision=prec("attn_proj")) + \
         params["g_b"].reshape(k * g_ch)
 
     # Pairwise score decomposed from concat_project: f[q, m] = a[q] + b[m],
@@ -155,20 +234,38 @@ def multi_global_graph(
         params["proj_theta"].reshape(-1))
     p_p = jnp.zeros((k * i, k), x.dtype).at[rows, blocks].set(
         params["proj_phi"].reshape(-1))
-    a = jnp.matmul(theta, p_t).reshape(m, j_, 1, k)
-    b = jnp.matmul(phi, p_p).reshape(m, 1, j_, k)
+    a = jnp.matmul(theta, p_t, precision=prec("attn_score"))
+    b = jnp.matmul(phi, p_p, precision=prec("attn_score"))
 
-    f = jax.nn.leaky_relu(a + b, negative_slope=0.2)
-    attn = jax.nn.softmax(f, axis=2)
-    attn = attn + jnp.transpose(params["C_k"], (1, 2, 0))  # (Jq, Jm, K)
+    if impl == "batched":
+        a3 = a.reshape(m, j_, k)
+        b3 = b.reshape(m, j_, k)
+        apply_prec = prec("attn_apply")
+        outs = []
+        for h in range(k):
+            f = jax.nn.leaky_relu(
+                a3[:, :, h:h + 1] + b3[:, :, h][:, None, :],
+                negative_slope=0.2)                      # (M, Jq, Jm)
+            attn = jax.nn.softmax(f, axis=2) + params["C_k"][h]
+            gx_h = gx[:, h * g_ch:(h + 1) * g_ch].reshape(m, j_, g_ch)
+            outs.append(jax.lax.dot_general(
+                attn, gx_h, (((2,), (1,)), ((0,), (0,))),
+                precision=apply_prec))                   # (M, Jq, G)
+        # Head-major concat matches the reference's torch.cat over head
+        # outputs (global_attention.py:111).
+        y = jnp.concatenate(outs, axis=2).reshape(b_, t_, j_, k * g_ch)
+    else:
+        f = jax.nn.leaky_relu(a.reshape(m, j_, 1, k) + b.reshape(m, 1, j_, k),
+                              negative_slope=0.2)
+        attn = jax.nn.softmax(f, axis=2)
+        attn = attn + jnp.transpose(params["C_k"], (1, 2, 0))  # (Jq, Jm, K)
 
-    # Head-major channel blocks match the reference's torch.cat over head
-    # outputs (global_attention.py:111).
-    gx4 = gx.reshape(m, j_, k, g_ch)
-    y = jnp.einsum("mqnk,mnkg->mqkg", attn, gx4)
-    y = y.reshape(b_, t_, j_, k * g_ch)
+        gx4 = gx.reshape(m, j_, k, g_ch)
+        y = jnp.einsum("mqnk,mnkg->mqkg", attn, gx4,
+                       precision=prec("attn_apply"))
+        y = y.reshape(b_, t_, j_, k * g_ch)
 
-    y = jnp.matmul(y, params["cat_w"])
+    y = jnp.matmul(y, params["cat_w"], precision=prec("attn_cat"))
     y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"], train=train)
     y = jax.nn.relu(y)
     if train and dropout_rate > 0.0:
@@ -186,6 +283,9 @@ def graph_attention_block(
     train: bool,
     dropout_rate: float,
     rng=None,
+    attn_impl: str = "einsum",
+    local_impl: str = "einsum",
+    prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
 
@@ -197,13 +297,15 @@ def graph_attention_block(
 
     local, s_local = local_graph(
         x, params["local"], state["local"], statics,
-        train=train, dropout_rate=dropout_rate, rng=rng_l)
+        train=train, dropout_rate=dropout_rate, rng=rng_l,
+        impl=local_impl, prec=prec)
     globl, s_glob = multi_global_graph(
         x, params["global"], state["global"],
-        train=train, dropout_rate=dropout_rate, rng=rng_g)
+        train=train, dropout_rate=dropout_rate, rng=rng_g,
+        impl=attn_impl, prec=prec)
 
     y = jnp.concatenate([x, local, globl], axis=-1)
-    y = jnp.matmul(y, params["cat_w"])
+    y = jnp.matmul(y, params["cat_w"], precision=prec("gab_cat"))
     y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"], train=train)
     y = jax.nn.relu(y)
 

@@ -19,11 +19,13 @@ def temporal_conv(
     *,
     dilation: int = 1,
     stride: int = 1,
+    precision=None,
 ) -> jnp.ndarray:
     """Valid (unpadded) temporal conv.
 
     ``x``: (B, T, N, Cin); ``w``: (fw, Cin, Cout). Returns (B, T', N, Cout)
     with T' = T - (fw-1)*dilation for stride 1, or the strided length.
+    ``precision=None`` inherits the jax.default_matmul_precision context.
     """
     return jax.lax.conv_general_dilated(
         x,
@@ -32,12 +34,13 @@ def temporal_conv(
         padding="VALID",
         rhs_dilation=(dilation, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
     )
 
 
-def pointwise(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def pointwise(x: jnp.ndarray, w: jnp.ndarray, precision=None) -> jnp.ndarray:
     """1x1 conv == dense matmul over the channel axis.
 
     ``x``: (..., Cin); ``w``: (Cin, Cout).
     """
-    return jnp.matmul(x, w)
+    return jnp.matmul(x, w, precision=precision)

@@ -25,7 +25,7 @@ class Pose2DEstimator:
     def __init__(self, yolo_weights: str, hrnet_weights: str,
                  yolo_cfg: Optional[str] = None, det_dim: int = 416,
                  hrnet_width: int = 48, image_size=(288, 384),
-                 confidence: float = 0.70):
+                 confidence: float = 0.70, hrnet_spec=None):
         import jax
 
         from gastx.pipeline.hrnet import hrnet_extra, import_hrnet_params
@@ -36,7 +36,10 @@ class Pose2DEstimator:
         self.detector = YoloHumanDetector(yolo_weights, yolo_cfg,
                                           inp_dim=det_dim,
                                           confidence=confidence)
-        self.extra = hrnet_extra(hrnet_width)
+        # hrnet_spec: explicit stage spec (EXTRA dict) overriding the
+        # shipped w<width> preset — used by tests with reduced backbones.
+        self.extra = hrnet_spec if hrnet_spec is not None \
+            else hrnet_extra(hrnet_width)
         self.image_size = list(image_size)
 
         import torch
@@ -88,14 +91,17 @@ class Pose2DEstimator:
 def gen_video_kpts(video: str, yolo_weights: str, hrnet_weights: str,
                    det_dim: int = 416, num_person: int = 1,
                    yolo_cfg: Optional[str] = None,
-                   progress: bool = True
+                   progress: bool = True,
+                   estimator: Optional[Pose2DEstimator] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Run the full 2D pipeline over a video. Returns ((M, T, 17, 2) kpts,
-    (M, T, 17) scores)."""
+    (M, T, 17) scores). Pass ``estimator`` to reuse loaded models (or to
+    inject reduced ones in tests)."""
     import cv2
 
-    estimator = Pose2DEstimator(yolo_weights, hrnet_weights, yolo_cfg,
-                                det_dim)
+    if estimator is None:
+        estimator = Pose2DEstimator(yolo_weights, hrnet_weights, yolo_cfg,
+                                    det_dim)
     cap = cv2.VideoCapture(video)
     assert cap.isOpened(), "Cannot capture source"
     video_length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))

@@ -4,6 +4,12 @@ from gastx.pipeline.hrnet.config import (
     hrnet_extra,
     update_config,
 )
+from gastx.pipeline.hrnet.experiments import (
+    EXPERIMENTS,
+    experiment_config,
+    experiment_names,
+    resnet_extra,
+)
 from gastx.pipeline.hrnet.model import (
     fold_conv_bn,
     hrnet_forward,
@@ -23,6 +29,10 @@ __all__ = [
     "default_config",
     "hrnet_extra",
     "update_config",
+    "EXPERIMENTS",
+    "experiment_config",
+    "experiment_names",
+    "resnet_extra",
     "fold_conv_bn",
     "hrnet_forward",
     "import_hrnet_params",

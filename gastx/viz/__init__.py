@@ -3,6 +3,7 @@ from gastx.viz.animation import (
     render_animation,
     render_animation_multiperson,
 )
+from gastx.viz.draw2d import draw_bboxes, draw_keypoints, resize_img
 from gastx.viz.video_io import (
     downsample_tensor,
     get_fps,
@@ -11,6 +12,9 @@ from gastx.viz.video_io import (
 )
 
 __all__ = [
+    "draw_bboxes",
+    "draw_keypoints",
+    "resize_img",
     "color_edge",
     "render_animation",
     "render_animation_multiperson",

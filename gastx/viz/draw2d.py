@@ -65,3 +65,31 @@ def draw_keypoints(img: np.ndarray, kpts: np.ndarray,
         cv2.imshow("frame", im)
         cv2.waitKey(1)
     return im
+
+
+def draw_bboxes(img: np.ndarray, boxes, labels=None,
+                color: Tuple[int, int, int] = (0, 140, 255)) -> np.ndarray:
+    """Draw detection boxes + label tags onto a copy of ``img``.
+
+    Parity surface: the reference's detector box renderer
+    (lib/detector/yolov3/bbox.py:98-110) — rectangle, filled label
+    background sized by cv2.getTextSize, white label text. The reference
+    picks a random color per box; here the color is a deterministic
+    argument so demo output is reproducible.
+
+    ``boxes``: iterable of (x1, y1, x2, y2); ``labels``: optional list of
+    strings (defaults to "person", the only class the pipeline keeps).
+    """
+    import cv2
+
+    im = img.copy()
+    for i, box in enumerate(boxes):
+        x1, y1, x2, y2 = (int(v) for v in box[:4])
+        label = labels[i] if labels is not None else "person"
+        cv2.rectangle(im, (x1, y1), (x2, y2), color, 1)
+        t_size = cv2.getTextSize(label, cv2.FONT_HERSHEY_PLAIN, 1, 1)[0]
+        c2 = (x1 + t_size[0] + 3, y1 + t_size[1] + 4)
+        cv2.rectangle(im, (x1, y1), c2, color, -1)
+        cv2.putText(im, label, (x1, y1 + t_size[1] + 4),
+                    cv2.FONT_HERSHEY_PLAIN, 1, (225, 255, 255), 1)
+    return im

@@ -48,6 +48,37 @@ def test_render_animation_mp4_fallback(tmp_path):
     assert os.path.getsize(str(tmp_path / "anim.gif")) > 1000
 
 
+def test_render_animation_mp4_writer(tmp_path):
+    """With ffmpeg present, .mp4 output really produces an mp4
+    (reference tools/visualization.py:219-226)."""
+    import shutil
+    if not shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg not on host; mp4 writer not exercisable")
+    kpts, pose3d = _poses()
+    out = str(tmp_path / "anim.mp4")
+    render_animation(kpts, METADATA, {"Reconstruction": pose3d},
+                     H36M_17.skeleton(), fps=5, bitrate=1000, azim=70.0,
+                     output=out, viewport=(640, 480), size=3)
+    assert os.path.getsize(out) > 1000
+    with open(out, "rb") as f:
+        header = f.read(12)
+    assert header[4:8] == b"ftyp"  # ISO BMFF container magic
+
+
+def test_draw_bboxes():
+    from gastx.viz import draw_bboxes
+
+    img = np.zeros((120, 160, 3), np.uint8)
+    boxes = [(10, 10, 60, 100), (80.0, 20.0, 150.0, 110.0)]
+    out = draw_bboxes(img, boxes, labels=["person", "person"])
+    assert out.shape == img.shape
+    assert (img == 0).all()          # input untouched
+    assert out.sum() > 0             # something was drawn
+    # box edges carry the rectangle color
+    assert out[10, 10:60].sum() > 0
+    assert out[20:110, 80].sum() > 0
+
+
 def test_render_multiperson_gif(tmp_path):
     kpts1, pose1 = _poses(rng_seed=1)
     kpts2, pose2 = _poses(rng_seed=2)

@@ -104,16 +104,124 @@ def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
     return batch * iters / dt
 
 
-def main():
-    value = measure_gastx()
-    baseline = get_baseline()
-    vs = value / baseline if baseline == baseline else None  # NaN check
+def measure_gastx_frames(frames: int, batch: int = 1024,
+                         iters: int = 30) -> float:
+    """Inference throughput for the shipped 81/243-frame architectures
+    (reconstruction.py:220-228): fw (3,3,3,3) ch64 / (3,3,3,3,3) ch32."""
+    import jax
+    import jax.numpy as jnp
+
+    from gastx.models import config_for_frames, gastnet_forward, init_gastnet
+
+    cfg = config_for_frames(frames, dropout=0.05)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+
+    if jax.devices()[0].platform == "cpu":
+        batch, iters = 8, 2
+
+    @jax.jit
+    def many(params, state, x):
+        def body(carry, _):
+            xx = x + carry * 1e-12
+            y, _ = gastnet_forward(params, state, xx, cfg,
+                                   variant="dilated", train=False)
+            return y.sum(), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (batch, frames, 17, 2)).astype(np.float32))
+    jax.device_get(many(params, state, x))
+    t0 = time.perf_counter()
+    jax.device_get(many(params, state, x))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_train_step(batch: int = 1024, iters: int = 20) -> float:
+    """Training hot-loop throughput: full strided-variant train steps
+    (forward + backward + amsgrad update + BN stats, main.py:213-243) run
+    back-to-back on device inside one lax.scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from gastx.models import GastNetConfig, init_gastnet
+    from gastx.models.gastnet import gastnet_forward
+    from gastx.train.loop import init_train_state
+    from gastx.train.optimizer import scale_by_amsgrad
+
+    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=128, dropout=0.05)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    tx = scale_by_amsgrad()
+    ts = init_train_state(params, state, tx)
+
+    if jax.devices()[0].platform == "cpu":
+        batch, iters = 16, 2
+
+    rng = np.random.default_rng(0)
+    x2d = jnp.asarray(rng.standard_normal(
+        (batch, 27, 17, 2)).astype(np.float32))
+    x3d = jnp.asarray(rng.standard_normal(
+        (batch, 1, 17, 3)).astype(np.float32))
+    weight = jnp.ones((batch,), jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    # One scan carrying TrainState so iterations serialize on device; this
+    # is the same step body make_train_step jits, timed without the ~30ms
+    # axon per-dispatch RTT.
+    @jax.jit
+    def many(ts, x2d, x3d):
+        def body(ts, key):
+            target = x3d.at[:, :, 0].set(0.0)
+
+            def loss_fn(params):
+                pred, new_bn = gastnet_forward(
+                    params, ts.bn_state, x2d, cfg, variant="strided",
+                    train=True, rng=key)
+                err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
+                               axis=(1, 2))
+                return jnp.sum(err * weight) / jnp.sum(weight), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params)
+            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, ts.params, updates)
+            return type(ts)(new_params, new_bn, new_opt), loss
+
+        keys = jax.random.split(jax.random.PRNGKey(1), iters)
+        ts, losses = jax.lax.scan(body, ts, keys)
+        return losses
+
+    jax.device_get(many(ts, x2d, x3d))
+    t0 = time.perf_counter()
+    jax.device_get(many(ts, x2d, x3d))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def emit(metric: str, value: float, baseline: float = None):
+    vs = None
+    if baseline is not None and baseline == baseline:
+        vs = round(value / baseline, 2)
     print(json.dumps({
-        "metric": "27f_17j_lifting_throughput",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "seq/s",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "vs_baseline": vs,
+    }), flush=True)
+
+
+def main():
+    full = "--full" in sys.argv
+    value = measure_gastx()
+    baseline = get_baseline()
+    emit("27f_17j_lifting_throughput", value, baseline)
+    if full:
+        emit("27f_17j_train_step_throughput", measure_train_step())
+        emit("81f_17j_lifting_throughput", measure_gastx_frames(81))
+        emit("243f_17j_lifting_throughput", measure_gastx_frames(243))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,6 @@
 from gastx.models.config import (
+    TPU_MIXED_PRECISION_OVERRIDES,
+    TPU_MIXED_SAFE_OVERRIDES,
     GastNetConfig,
     GraphStatics,
     config_for_frames,
@@ -8,6 +10,8 @@ from gastx.models.init import init_gastnet, param_count
 from gastx.models.gastnet import gastnet_forward
 
 __all__ = [
+    "TPU_MIXED_PRECISION_OVERRIDES",
+    "TPU_MIXED_SAFE_OVERRIDES",
     "GastNetConfig",
     "GraphStatics",
     "config_for_frames",

@@ -120,6 +120,35 @@ class GastNetConfig:
         return (2 ** self.num_levels) * self.channels
 
 
+# Measured per-op-class mixed-precision presets (v5e, B=1024, 27f/17j,
+# scripts/perf_lab{2,3}.py + 8-seed robustness sweeps, 2026-08-16). Errors
+# are max |delta| vs the matmul_precision="highest" forward over random
+# weight/input draws; the parity budget is 0.1 mm end-to-end.
+#
+#   preset              seq/s   max err (8 seeds)   note
+#   all "high"          10643   0.0013 mm           training / bit-studies
+#   TPU_MIXED_SAFE      12314   0.055 mm (4 seeds)  conservative inference
+#   TPU_MIXED (below)   13373   0.093 mm            inference default
+#   + attn_proj default 14002   0.124 mm            REJECTED: over budget
+#   all "default"       15642   0.16 mm             REJECTED: over budget
+#
+# The ceiling is structural: x_convs / x_gabcat / each gab level at
+# "default" individually measure 0.11-0.20 mm (perf_lab2), so no
+# precision-mixing config faster than TPU_MIXED+attn_proj can stay within
+# the budget — further speed must come from layout/kernel work, not
+# precision.
+TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
+    ("local_sem", "default"), ("local_off", "default"),
+    ("local_cat", "default"), ("attn_score", "default"),
+    ("attn_apply", "default"), ("attn_cat", "default"),
+)
+TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = (
+    ("local_sem", "default"), ("local_off", "default"),
+    ("local_cat", "default"), ("attn_score", "default"),
+    ("attn_apply", "default"),
+)
+
+
 class GraphStatics(NamedTuple):
     """Static per-layout constants consumed by the graph ops."""
 
@@ -139,10 +168,22 @@ def graph_statics(layout_name: str) -> GraphStatics:
     )
 
 
-def config_for_frames(frames: int, num_joints: int = 17, *, causal: bool = False,
-                      dropout: float = 0.05) -> GastNetConfig:
+def config_for_frames(
+    frames: int, num_joints: int = 17, *, causal: bool = False,
+    dropout: float = 0.05,
+    precision_overrides: Tuple[Tuple[str, str], ...] =
+        TPU_MIXED_PRECISION_OVERRIDES,
+) -> GastNetConfig:
     """The shipped receptive-field -> architecture table
-    (reconstruction.py:220-228, gen_skes.py:43-97)."""
+    (reconstruction.py:220-228, gen_skes.py:43-97).
+
+    This is the *inference* entry point (reconstruct/realtime/gen_skes
+    CLIs), so it defaults to the measured mixed-precision preset
+    (+26% throughput at max 0.093 mm over 8 seeds — see
+    TPU_MIXED_PRECISION_OVERRIDES). Pass ``precision_overrides=()`` for the
+    all-"high" bit-study mode; training builds GastNetConfig directly and
+    stays all-"high".
+    """
     if frames == 27:
         fw, ch = (3, 3, 3), 128
     elif frames == 81:
@@ -154,4 +195,5 @@ def config_for_frames(frames: int, num_joints: int = 17, *, causal: bool = False
     layout = {17: "h36m17", 19: "h36m19", 16: "sh16", 15: "humaneva15"}[num_joints]
     return GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
                          filter_widths=fw, channels=ch, causal=causal,
-                         dropout=dropout, layout=layout)
+                         dropout=dropout, layout=layout,
+                         precision_overrides=tuple(precision_overrides))

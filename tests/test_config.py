@@ -1,0 +1,87 @@
+"""Config-surface tests: the shipped frames->architecture table and the
+measured mixed-precision override plumbing (gastx/models/config.py).
+
+The override *numbers* (13.4k seq/s @ max 0.093mm over 8 seeds) are
+TPU-measured in scripts/perf_lab2/3.py; on the CPU backend every precision
+tier computes plain fp32, so here we pin the plumbing: the inference entry
+carries the preset, resolution order is level-qualified > bare class >
+inherit, and the mixed forward is numerically identical to all-"high" on
+CPU (proving the overrides change only matmul precision, not math).
+"""
+import jax
+import numpy as np
+import pytest
+
+from gastx.models import (
+    TPU_MIXED_PRECISION_OVERRIDES,
+    TPU_MIXED_SAFE_OVERRIDES,
+    GastNetConfig,
+    config_for_frames,
+    gastnet_forward,
+    init_gastnet,
+)
+
+
+def test_config_for_frames_table():
+    """reconstruction.py:220-228 / gen_skes.py:43-97 architecture table."""
+    for frames, fw, ch in ((27, (3, 3, 3), 128), (81, (3, 3, 3, 3), 64),
+                           (243, (3, 3, 3, 3, 3), 32)):
+        cfg = config_for_frames(frames)
+        assert cfg.filter_widths == fw and cfg.channels == ch
+        assert cfg.receptive_field() == frames
+    assert config_for_frames(27, 19).layout == "h36m19"
+    assert config_for_frames(27, 16).layout == "sh16"
+    assert config_for_frames(27, 15).layout == "humaneva15"
+    with pytest.raises(ValueError):
+        config_for_frames(55)
+
+
+def test_inference_entry_carries_mixed_preset():
+    cfg = config_for_frames(27)
+    assert cfg.precision_overrides == TPU_MIXED_PRECISION_OVERRIDES
+    assert config_for_frames(27, precision_overrides=()).precision_overrides \
+        == ()
+    # Training configs built directly stay all-"high" (no overrides).
+    assert GastNetConfig().precision_overrides == ()
+    # The safe preset is the mixed one minus attn_cat.
+    assert set(TPU_MIXED_SAFE_OVERRIDES) == \
+        set(TPU_MIXED_PRECISION_OVERRIDES) - {("attn_cat", "default")}
+
+
+def test_precision_for_resolution():
+    cfg = GastNetConfig(precision_overrides=(
+        ("gab1.attn_proj", "highest"), ("attn_proj", "default")))
+    # Bare class resolves; unknown class inherits (None).
+    assert cfg.precision_for("attn_proj") == "default"
+    assert cfg.precision_for("temporal") is None
+    # Level-qualified entries are matched by the forward's level resolver
+    # (gastnet.py level_prec): qualified beats bare.
+    assert cfg.precision_for("gab1.attn_proj") == "highest"
+
+
+def test_mixed_forward_matches_high_on_cpu():
+    base = GastNetConfig(filter_widths=(3, 3), channels=16, dropout=0.0)
+    mixed = config_for_frames(27, dropout=0.0)
+    mixed = GastNetConfig(
+        filter_widths=(3, 3), channels=16, dropout=0.0,
+        precision_overrides=TPU_MIXED_PRECISION_OVERRIDES)
+    params, state = init_gastnet(jax.random.PRNGKey(0), base)
+    x = np.random.default_rng(0).standard_normal((4, 9, 17, 2)).astype(
+        np.float32)
+    y_hi, _ = gastnet_forward(params, state, x, base, variant="dilated",
+                              train=False)
+    y_mx, _ = gastnet_forward(params, state, x, mixed, variant="dilated",
+                              train=False)
+    np.testing.assert_array_equal(np.asarray(y_hi), np.asarray(y_mx))
+
+
+def test_level_qualified_override_forward_runs():
+    cfg = GastNetConfig(filter_widths=(3, 3), channels=16, dropout=0.0,
+                        precision_overrides=(("gab1.attn_proj", "highest"),
+                                             ("lvl1.temporal", "high")))
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).standard_normal((2, 9, 17, 2)).astype(
+        np.float32)
+    y, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                           train=False)
+    assert np.isfinite(np.asarray(y)).all()

@@ -48,6 +48,14 @@ class GastNetConfig:
     # tensor; "gather" avoids the channel-batched adjacency matmul.
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
+    # Graph-attention-block implementation for the EVAL-mode forward:
+    # "xla" (default) or "pallas" — the fused whole-block VMEM-resident
+    # kernel (gastx/ops/pallas/fused_gab.py; interpret-verified to 2e-6 vs
+    # the XLA path). Levels with C > 256 and all training steps always take
+    # the XLA path (kernel VMEM budget; see the kernel docstring). NOTE:
+    # this host's remote Mosaic service cannot compile it — verified in
+    # interpret mode + wired for direct-Mosaic TPU hosts.
+    gab_impl: str = "xla"
 
     def precision_for(self, op_class: str):
         """Override precision for an op class, or None to inherit the

@@ -93,7 +93,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
         y, params["gabs"][0], state["gabs"][0], statics,
         train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
         attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-        prec=level_prec("gab0"))
+        gab_impl=cfg.gab_impl, prec=level_prec("gab0"))
     gab_states.append(s_gab)
 
     temporal_states = []
@@ -127,7 +127,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             y, params["gabs"][i], state["gabs"][i], statics,
             train=train, dropout_rate=cfg.dropout, rng=block_rng(i),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-            prec=level_prec(f"gab{i}"))
+            gab_impl=cfg.gab_impl, prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})
         gab_states.append(s_gab)

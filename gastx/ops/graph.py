@@ -285,12 +285,29 @@ def graph_attention_block(
     rng=None,
     attn_impl: str = "einsum",
     local_impl: str = "einsum",
+    gab_impl: str = "xla",
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
 
     Reference: model/gast_net.py:8-33. This is where channels double.
+
+    ``gab_impl="pallas"`` routes the eval-mode block through the fused
+    whole-block VMEM kernel (gastx/ops/pallas/fused_gab.py) when the
+    channel width fits its VMEM budget; training and wide levels fall back
+    to the XLA path below. Eval-mode BN leaves state untouched, so the
+    fused path returns the input state subtree unchanged.
     """
+    if gab_impl != "xla" and not train:
+        from gastx.ops.pallas.fused_gab import MAX_FUSED_CHANNELS, fused_gab
+
+        if x.shape[-1] <= MAX_FUSED_CHANNELS:
+            y = fused_gab(x, params, state,
+                          tuple(int(i) for i in statics.sym_idx),
+                          tuple(int(i) for i in statics.con_idx),
+                          interpret=(gab_impl == "pallas_interpret"))
+            return y, state
+
     rng_l = rng_g = None
     if rng is not None:
         rng_l, rng_g = jax.random.split(rng)

@@ -36,3 +36,67 @@ def test_fused_global_attention_matches_xla(level, t):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("level,t", [(0, 25), (1, 19)])
+def test_fused_gab_matches_xla(level, t):
+    """Whole-block fused kernel (local sym/con convs + global attention +
+    3C->2C concat, gastx/ops/pallas/fused_gab.py) vs the XLA path."""
+    from gastx.models import graph_statics
+    from gastx.ops.pallas.fused_gab import fused_gab
+
+    cfg = GastNetConfig()
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    c = cfg.block_channels(level)
+    gp, gs = params["gabs"][level], state["gabs"][level]
+    statics = graph_statics(cfg.layout)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, t, 17, c)).astype(np.float32))
+    ref, _ = G.graph_attention_block(x, gp, gs, statics,
+                                     train=False, dropout_rate=0.0)
+    got = fused_gab(x, gp, gs, tuple(int(i) for i in statics.sym_idx),
+                    tuple(int(i) for i in statics.con_idx), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_fused_gab_rejects_wide_channels():
+    from gastx.models import graph_statics
+    from gastx.ops.pallas.fused_gab import MAX_FUSED_CHANNELS, fused_gab
+
+    cfg = GastNetConfig()
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    statics = graph_statics(cfg.layout)
+    c = cfg.block_channels(2)
+    assert c > MAX_FUSED_CHANNELS
+    x = jnp.zeros((1, 3, 17, c), jnp.float32)
+    with pytest.raises(ValueError):
+        fused_gab(x, params["gabs"][2], state["gabs"][2],
+                  tuple(int(i) for i in statics.sym_idx),
+                  tuple(int(i) for i in statics.con_idx), interpret=True)
+
+
+def test_gab_impl_pallas_full_forward_matches_xla():
+    """The gab_impl="pallas" wiring (GastNetConfig flag) end-to-end: the
+    full dilated eval forward with fused blocks (C<=256 levels fused,
+    C=512 level auto-falls back to XLA) matches the default forward."""
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y_ref, s_ref = gastnet_forward(params, state, x, cfg,
+                                   variant="dilated", train=False)
+    import dataclasses
+    cfg_p = dataclasses.replace(cfg, gab_impl="pallas_interpret")
+    y_got, s_got = gastnet_forward(params, state, x, cfg_p,
+                                   variant="dilated", train=False)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-4)
+    # Eval-mode BN state is untouched on both paths.
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                    jax.tree_util.tree_leaves(s_got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -107,10 +107,15 @@ def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
     return batch * iters / dt
 
 
-def measure_gastx_frames(frames: int, batch: int = 1024,
+def measure_gastx_frames(frames: int, batch: int = None,
                          iters: int = 30) -> float:
     """Inference throughput for the shipped 81/243-frame architectures
-    (reconstruction.py:220-228): fw (3,3,3,3) ch64 / (3,3,3,3,3) ch32."""
+    (reconstruction.py:220-228): fw (3,3,3,3) ch64 / (3,3,3,3,3) ch32.
+
+    243f defaults to B=256: its ch-32 levels pad the 128-wide lane dim 4x,
+    so B=1024 x T=243 activations exceed v5e HBM (measured: 20.7G padded
+    at 22% utilization vs 15.75G capacity)."""
+    batch = batch or (256 if frames == 243 else 1024)
     import jax
     import jax.numpy as jnp
 
@@ -204,6 +209,50 @@ def measure_train_step(batch: int = 1024, iters: int = 20) -> float:
     return batch * iters / dt
 
 
+def measure_streaming_steps(iters: int = 200) -> float:
+    """Sequential single-frame causal streaming steps per second (M=1).
+
+    The reference claims "real-time 3D pose estimation" (README.md:7) via
+    per-frame gen_pose_frame; gastx's StreamingLifter runs one strided
+    forward per pushed frame on a device-resident window
+    (gastx/infer/streaming.py). This measures the chained device step —
+    1/value is the steady-state per-frame latency floor.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gastx.infer.streaming import _stream_step
+    from gastx.models import config_for_frames, init_gastnet
+
+    cfg = config_for_frames(27, causal=True)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+
+    if jax.devices()[0].platform == "cpu":
+        iters = 3
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.standard_normal((1, 17, 2)).astype(np.float32))
+    window0 = jnp.broadcast_to(frame[:, None], (1, 27, 17, 2))
+
+    @jax.jit
+    def many(params, state, window, frame):
+        def body(window, _):
+            window, pose = _stream_step(params, state, window,
+                                        frame + pose_sum(window), cfg)
+            return window, pose.sum()
+
+        def pose_sum(w):  # numerically inert serialization term
+            return w[0, 0, 0, 0] * 1e-12
+        window, sums = jax.lax.scan(body, window, None, length=iters)
+        return sums[-1]
+
+    jax.device_get(many(params, state, window0, frame))
+    t0 = time.perf_counter()
+    jax.device_get(many(params, state, window0, frame))
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
 def emit(metric: str, value: float, baseline: float = None):
     vs = None
     if baseline is not None and baseline == baseline:
@@ -225,6 +274,7 @@ def main():
         emit("27f_17j_train_step_throughput", measure_train_step())
         emit("81f_17j_lifting_throughput", measure_gastx_frames(81))
         emit("243f_17j_lifting_throughput", measure_gastx_frames(243))
+        emit("causal_27f_streaming_steps_per_s", measure_streaming_steps())
 
 
 if __name__ == "__main__":

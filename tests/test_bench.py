@@ -1,0 +1,37 @@
+"""bench.py smoke test: every metric function runs on the CPU backend.
+
+The driver runs `python bench.py` on real TPU hardware at the end of every
+round; a broken bench loses the round's perf record, so each measurement
+path (default + --full) is exercised here with the tiny CPU shapes the
+functions select on this backend.
+"""
+import json
+import subprocess
+import sys
+
+import bench
+
+
+def test_all_metric_functions_run_on_cpu():
+    assert bench.measure_gastx() > 0
+    assert bench.measure_gastx_frames(81) > 0
+    assert bench.measure_gastx_frames(243) > 0
+    assert bench.measure_train_step() > 0
+    assert bench.measure_streaming_steps() > 0
+
+
+def test_bench_cli_prints_one_json_line(tmp_path):
+    """The driver contract: default mode prints ONE parseable JSON line."""
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=bench.REPO, timeout=900,
+        env={"PYTHONPATH": bench.REPO, "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu",
+             "HOME": str(tmp_path)},
+    )
+    lines = [l for l in out.stdout.strip().splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 1, out.stdout + out.stderr
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "27f_17j_lifting_throughput"
+    assert rec["unit"] == "seq/s" and rec["value"] > 0

@@ -46,6 +46,11 @@ def _run(tmp, name, args):
 def test_resume_reproduces_straight_run(synthetic_h36m):
     from gastx.train import load_checkpoint
 
+    # Explicit: this resume-vs-straight bitwise comparison runs the real
+    # trainval main loop over the 8-virtual-device DP mesh (conftest), so
+    # checkpoint/resume-under-mesh is what is being certified here.
+    assert len(jax.devices()) == 8
+
     straight = _run(synthetic_h36m, "straight", ["-e", "2"])
     resumed = _run(synthetic_h36m, "resumed", ["-e", "1"])
     _run(synthetic_h36m, "resumed", ["-e", "2", "-r", "epoch_1.ckpt"])

@@ -48,6 +48,10 @@ def test_trainval_end_to_end(synthetic_h36m, capsys):
         "--data-dir", str(synthetic_h36m / "data"),
     ])
     out = capsys.readouterr().out
+    # conftest forces 8 virtual CPU devices, so this end-to-end run (and the
+    # 2-epoch resume test in test_resume.py that shares this fixture shape)
+    # exercises the REAL main loop over an 8-device DP mesh, not one device.
+    assert "data-parallel mesh over 8 device(s)" in out
     assert "Receptive field: 9 frames" in out
     assert "3d_valid" in out
     assert "action-wise average" in out

@@ -80,11 +80,17 @@ def lift_sequences(
     cfg: GastNetConfig,
     *,
     tta: bool = True,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Lift normalized 2D keypoint sequences [(T_i, J, 2)] to [(T_i, J, 3)].
 
     Sequences are edge-padded by the receptive field (asymmetrically when
     causal), grouped into length buckets, and lifted in batched jitted calls.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — serving-style data-parallel
+    inference: the per-bucket batch axis is sharded across the mesh (each
+    chip lifts its shard; no collectives are needed) and params/state are
+    replicated. Results are identical to the single-device path.
     """
     rf = cfg.receptive_field()
     pad = (rf - 1) // 2
@@ -96,6 +102,12 @@ def lift_sequences(
         t = seq.shape[0]
         t_pad = t + 2 * pad
         jobs.setdefault(_bucket_length(t_pad), []).append(i)
+
+    if mesh is not None:
+        from gastx.parallel import batch_sharding, replicate
+
+        params = replicate(mesh, params)
+        state = replicate(mesh, state)
 
     results: List[Optional[np.ndarray]] = [None] * len(sequences)
     for bucket, idxs in jobs.items():
@@ -112,9 +124,17 @@ def lift_sequences(
         # compiles once per (bucket, count-bucket), not per distinct count.
         m = len(batch)
         m_pad = 1 << (m - 1).bit_length()
+        if mesh is not None:  # ... and to a multiple of the mesh size
+            n_dev = mesh.devices.size
+            m_pad = -(-m_pad // n_dev) * n_dev
         batch.extend([np.zeros_like(batch[0])] * (m_pad - m))
-        x = jnp.asarray(np.stack(batch))
-        y = np.asarray(_lift_batch(params, state, x, cfg, tta))
+        if mesh is not None:
+            x = jax.device_put(np.stack(batch), batch_sharding(mesh))
+            with mesh:
+                y = np.asarray(_lift_batch(params, state, x, cfg, tta))
+        else:
+            x = jnp.asarray(np.stack(batch))
+            y = np.asarray(_lift_batch(params, state, x, cfg, tta))
         for row, i in enumerate(idxs):
             # np.array: callers mutate predictions (height rebase etc.)
             results[i] = np.array(y[row, :sequences[i].shape[0]])
@@ -129,7 +149,8 @@ def lift_to_world(
     *,
     tta: bool = True,
     rot: np.ndarray = DEMO_ROT,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Lift + rotate predictions into world coordinates (tools/inference.py:44-70)."""
-    preds = lift_sequences(params, state, sequences, cfg, tta=tta)
+    preds = lift_sequences(params, state, sequences, cfg, tta=tta, mesh=mesh)
     return [np.array(camera_to_world(p, R=rot, t=0)) for p in preds]

@@ -62,3 +62,27 @@ def test_lift_sequences_matches_reference(tta):
         # mm-scale delta: worst-joint error far below the 0.1mm budget
         delta_mm = np.max(np.linalg.norm(pred - ref, axis=-1)) * 1000
         assert delta_mm < 0.1, f"max per-joint delta {delta_mm:.4f} mm"
+
+
+def test_lift_sequences_mesh_matches_single_device():
+    """Serving-style DP inference: lift_sequences over an 8-device mesh
+    (batch axis sharded, params replicated) returns the same poses as the
+    single-device path — including TTA's in-jit batch doubling and the
+    mesh-multiple batch padding."""
+    import jax
+
+    from gastx.models import init_gastnet
+    from gastx.parallel import make_mesh
+
+    cfg = GastNetConfig(filter_widths=(3, 3), channels=16, dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    # 3 sequences (pads to 8 = mesh size) of two different lengths.
+    seqs = [rng.standard_normal((t, 17, 2)).astype(np.float32)
+            for t in (21, 40, 21)]
+
+    single = lift_sequences(params, state, seqs, cfg, tta=True)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = lift_sequences(params, state, seqs, cfg, tta=True, mesh=mesh)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -47,20 +47,68 @@ def measure_reference_cpu(batch: int = 32, iters: int = 5) -> float:
     return batch * iters / dt
 
 
-def get_baseline() -> float:
+def measure_reference_train_cpu(batch: int = 32, iters: int = 3) -> float:
+    """Reference torch TRAIN-step throughput on CPU (seq/s): strided model,
+    mpjpe loss, Adam(amsgrad) — the main.py:213-243 hot loop."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from reference_torch import build_reference_model, reference_available
+
+    if not reference_available():
+        raise RuntimeError("reference not available")
+    import torch
+
+    model = build_reference_model(variant="strided")
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, amsgrad=True)
+    x = torch.randn(batch, 27, 17, 2)
+    tgt = torch.randn(batch, 1, 17, 3)
+
+    def step():
+        opt.zero_grad()
+        pred = model(x)
+        loss = torch.mean(torch.norm(pred - tgt, dim=-1))
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _cached(key: str, measure, note: str):
+    cache = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
-            return json.load(f)["seqs_per_s"]
+            cache = json.load(f)
+    if key in cache:
+        return cache[key]
+    val = measure()
+    cache[key] = val
+    cache[f"{key}_note"] = note
+    with open(CACHE, "w") as f:
+        json.dump(cache, f)
+    return val
+
+
+def get_baseline() -> float:
     try:
-        val = measure_reference_cpu()
-        with open(CACHE, "w") as f:
-            json.dump({"seqs_per_s": val,
-                       "note": "reference torch CPU, batch32 fp32 eval"}, f)
-        return val
+        return _cached("seqs_per_s", measure_reference_cpu,
+                       "reference torch CPU, batch32 fp32 eval")
     except Exception:
         if FALLBACK_BASELINE_SEQS_PER_S is None:
             return float("nan")
         return FALLBACK_BASELINE_SEQS_PER_S
+
+
+def get_train_baseline():
+    try:
+        return _cached("train_seqs_per_s", measure_reference_train_cpu,
+                       "reference torch CPU, batch32 strided train step")
+    except Exception:
+        return None
 
 
 def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
@@ -271,7 +319,8 @@ def main():
     baseline = get_baseline()
     emit("27f_17j_lifting_throughput", value, baseline)
     if full:
-        emit("27f_17j_train_step_throughput", measure_train_step())
+        emit("27f_17j_train_step_throughput", measure_train_step(),
+             get_train_baseline())
         emit("81f_17j_lifting_throughput", measure_gastx_frames(81))
         emit("243f_17j_lifting_throughput", measure_gastx_frames(243))
         emit("causal_27f_streaming_steps_per_s", measure_streaming_steps())

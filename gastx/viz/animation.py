@@ -37,6 +37,47 @@ def color_edge(joint_num: int) -> str:
     return "purple"
 
 
+def _make_cv2_writer(fps: int):
+    """A matplotlib MovieWriter that encodes mp4 through OpenCV's bundled
+    mp4v encoder — covers the reference's ffmpeg export surface
+    (tools/visualization.py:219-226) on hosts without ffmpeg."""
+    import cv2
+    import matplotlib.animation
+
+    class _Cv2MovieWriter(matplotlib.animation.AbstractMovieWriter):
+        def __init__(self, fps):
+            super().__init__(fps=fps, codec="mp4v")
+            self._writer = None
+
+        @classmethod
+        def isAvailable(cls):
+            return True
+
+        def setup(self, fig, outfile, dpi=None):
+            super().setup(fig, outfile, dpi=dpi)
+
+        def grab_frame(self, **savefig_kwargs):
+            self.fig.canvas.draw()
+            buf = np.asarray(self.fig.canvas.buffer_rgba())[..., :3]
+            # mp4v wants even frame dimensions
+            h, w = (d - d % 2 for d in buf.shape[:2])
+            buf = buf[:h, :w]
+            if self._writer is None:
+                self._writer = cv2.VideoWriter(
+                    self.outfile, cv2.VideoWriter_fourcc(*self.codec),
+                    self.fps, (w, h))
+                if not self._writer.isOpened():
+                    raise RuntimeError(
+                        f"cv2.VideoWriter could not open {self.outfile}")
+            self._writer.write(cv2.cvtColor(buf, cv2.COLOR_RGB2BGR))
+
+        def finish(self):
+            if self._writer is not None:
+                self._writer.release()
+
+    return _Cv2MovieWriter(fps=fps)
+
+
 def _save_animation(anim, output: str, fps: int, bitrate: int) -> None:
     import shutil
 
@@ -47,10 +88,13 @@ def _save_animation(anim, output: str, fps: int, bitrate: int) -> None:
             writer = matplotlib.animation.writers["ffmpeg"](
                 fps=fps, metadata={}, bitrate=bitrate)
             anim.save(output, writer=writer)
-        else:
-            # No ffmpeg on host: fall back to an animated GIF via pillow.
+            return
+        try:
+            anim.save(output, dpi=80, writer=_make_cv2_writer(fps))
+        except Exception as exc:  # no usable encoder: animated GIF
             fallback = output[:-4] + ".gif"
-            print(f"WARNING: ffmpeg not found; writing {fallback} instead")
+            print(f"WARNING: no mp4 encoder ({exc}); "
+                  f"writing {fallback} instead")
             anim.save(fallback, dpi=80, writer="pillow")
     elif output.endswith(".gif"):
         writer = ("imagemagick"

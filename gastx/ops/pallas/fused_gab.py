@@ -29,8 +29,10 @@ in-kernel.
 VMEM budget: weights are resident — 4C^2 (sym/con W0/W1) + 2C^2 (local cat)
 + 6C^2 (gab cat) + ~2.5C^2 (attention) floats ~= 13 MB at C=512, which does
 NOT leave room for activation tiles. The kernel therefore supports C <= 256
-(levels 0-1 of the 27-frame config, 0-2 of 81f, 0-3 of 243f); the wiring
-falls back to the attention-only kernel / XLA path above that.
+(levels 0-1 of the 27-frame config, 0-2 of 81f, 0-3 of 243f); above that the
+wiring (gastx/ops/graph.py graph_attention_block) runs the global branch
+through the attention-only kernel (global_attn.py, weights fit through
+C=512) and the rest through XLA.
 
 Mosaic constraints honored (same bisection as global_attn.py): no 4-D
 small-lane tensors, basic static indexing only, per-head block-column
@@ -48,8 +50,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gastx.ops.graph import _MASK_FILL, _local_gather_tables
+from gastx.ops.pallas.precision import kdot, kdot_general
 
 MAX_FUSED_CHANNELS = 256
+
+# Every matmul in the fused block, keyed by the model's precision-override
+# op classes (gastx/models/config.py TPU_MIXED_PRECISION_OVERRIDES).
+KERNEL_OPS = ("local_sem", "local_off", "local_cat", "attn_proj",
+              "attn_score", "attn_apply", "attn_cat", "gab_cat")
 
 
 def _fold_bn(params_bn: Dict, state_bn: Dict, eps: float = 1e-5):
@@ -96,18 +104,19 @@ def _kernel(x_ref,
             gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
             out_ref, *,
             num_heads: int, inter: int, g_ch: int, j: int,
-            col_sym, col_con):
+            col_sym, col_con, tiers, interpret: bool):
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
     x3 = x_ref[:]                                   # (TM, J, C)
     xr = x3.reshape(tm * j, c)
 
+    def dot(a, b, op):  # per-op-class explicit Mosaic precision
+        return kdot(a, b, tiers[op], interpret=interpret)
+
     # ---- local branch: two sparse semantic graph convs ----
     def sem_conv(w0_ref, w1_ref, wself_ref, wnbr_ref, col):
-        h0 = jnp.dot(xr, w0_ref[:],
-                     preferred_element_type=jnp.float32).reshape(tm, j, c)
-        h1 = jnp.dot(xr, w1_ref[:],
-                     preferred_element_type=jnp.float32).reshape(tm, j, c)
+        h0 = dot(xr, w0_ref[:], "local_sem").reshape(tm, j, c)
+        h1 = dot(xr, w1_ref[:], "local_off").reshape(tm, j, c)
         rows = []
         d = col.shape[1]
         for jq in range(j):
@@ -124,29 +133,22 @@ def _kernel(x_ref,
     b = jnp.maximum(b.reshape(tm * j, c) * bncon_scale_ref[:]
                     + bncon_shift_ref[:], 0.0)
     # 2C->C concat matmul as a sum of halves (no lane concat in-kernel)
-    local = jnp.dot(a, lcat_w_ref[0:c, :],
-                    preferred_element_type=jnp.float32) + \
-        jnp.dot(b, lcat_w_ref[c:2 * c, :],
-                preferred_element_type=jnp.float32)
+    local = dot(a, lcat_w_ref[0:c, :], "local_cat") + \
+        dot(b, lcat_w_ref[c:2 * c, :], "local_cat")
     local = jnp.maximum(local * lcat_scale_ref[:] + lcat_shift_ref[:], 0.0)
 
     # ---- global branch (same structure as global_attn._kernel) ----
-    theta = jnp.dot(xr, theta_w_ref[:],
-                    preferred_element_type=jnp.float32) + theta_b_ref[:]
-    phi = jnp.dot(xr, phi_w_ref[:],
-                  preferred_element_type=jnp.float32) + phi_b_ref[:]
-    gx = (jnp.dot(xr, g_w_ref[:],
-                  preferred_element_type=jnp.float32)
+    theta = dot(xr, theta_w_ref[:], "attn_proj") + theta_b_ref[:]
+    phi = dot(xr, phi_w_ref[:], "attn_proj") + phi_b_ref[:]
+    gx = (dot(xr, g_w_ref[:], "attn_proj")
           + g_b_ref[:]).reshape(tm, j, num_heads * g_ch)
 
     head_outs = []
     for k in range(num_heads):
         tk = theta[:, k * inter:(k + 1) * inter]
         pk = phi[:, k * inter:(k + 1) * inter]
-        sa = jnp.dot(tk, proj_t_ref[:, k:k + 1],
-                     preferred_element_type=jnp.float32).reshape(tm, j, 1)
-        sb = jnp.dot(pk, proj_p_ref[:, k:k + 1],
-                     preferred_element_type=jnp.float32).reshape(tm, j, 1)
+        sa = dot(tk, proj_t_ref[:, k:k + 1], "attn_score").reshape(tm, j, 1)
+        sb = dot(pk, proj_p_ref[:, k:k + 1], "attn_score").reshape(tm, j, 1)
         f = sa + jnp.swapaxes(sb, 1, 2)
         f = jnp.where(f > 0, f, 0.2 * f)            # LeakyReLU(0.2)
         f = f - jnp.max(f, axis=2, keepdims=True)
@@ -154,31 +156,28 @@ def _kernel(x_ref,
         attn = ef / jnp.sum(ef, axis=2, keepdims=True)
         attn = attn + ck_ref[k * j:(k + 1) * j, :]
         gk = gx[:, :, k * g_ch:(k + 1) * g_ch]
-        head_outs.append(jax.lax.dot_general(
+        head_outs.append(kdot_general(
             attn, gk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
+            tiers["attn_apply"], interpret=interpret))
     gy = jnp.concatenate(head_outs, axis=2)
-    gy = jnp.dot(gy.reshape(tm * j, num_heads * g_ch), acat_w_ref[:],
-                 preferred_element_type=jnp.float32)
+    gy = dot(gy.reshape(tm * j, num_heads * g_ch), acat_w_ref[:], "attn_cat")
     globl = jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
 
     # ---- block concat: [x, local, global] @ (3C -> 2C) ----
-    y = jnp.dot(xr, gcat_w_ref[0:c, :],
-                preferred_element_type=jnp.float32) + \
-        jnp.dot(local, gcat_w_ref[c:2 * c, :],
-                preferred_element_type=jnp.float32) + \
-        jnp.dot(globl, gcat_w_ref[2 * c:3 * c, :],
-                preferred_element_type=jnp.float32)
+    y = dot(xr, gcat_w_ref[0:c, :], "gab_cat") + \
+        dot(local, gcat_w_ref[c:2 * c, :], "gab_cat") + \
+        dot(globl, gcat_w_ref[2 * c:3 * c, :], "gab_cat")
     y = jnp.maximum(y * gcat_scale_ref[:] + gcat_shift_ref[:], 0.0)
     out_ref[:] = y.reshape(tm, j, 2 * c)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
-                                    "tile_rows"))
+                                    "tile_rows", "precs"))
 def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
               sym_idx: tuple, con_idx: tuple, *,
-              interpret: bool = False, tile_rows: int = 0) -> jnp.ndarray:
+              interpret: bool = False, tile_rows: int = 0,
+              precs: tuple = ()) -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, 2C); eval-mode graph_attention_block.
 
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
@@ -186,6 +185,11 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     the sym/con adjacencies as tuples (jit-static; from GraphStatics).
     Requires C <= MAX_FUSED_CHANNELS (weights must stay VMEM-resident
     alongside the activation tiles).
+
+    ``precs``: static ((op_class, tier), ...) pairs over KERNEL_OPS setting
+    each in-kernel matmul's precision (see gastx/ops/pallas/precision.py —
+    Mosaic rejects the ambient HIGH tier, so precision must be explicit);
+    unlisted ops inherit the ambient default_matmul_precision.
     """
     b_, t_, j_, c_ = x.shape
     if c_ > MAX_FUSED_CHANNELS:
@@ -194,6 +198,10 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     lp, gp = params["local"], params["global"]
     k, _, inter = gp["theta_w"].shape
     g_ch = gp["g_w"].shape[2]
+
+    base = jax.config.jax_default_matmul_precision or "default"
+    tiers = {op: base for op in KERNEL_OPS}
+    tiers.update(dict(precs))
 
     # -- host-side (XLA) parameter folding: all input-independent --
     wself_s, wnbr_s, col_s, _ = _local_weight_tables(
@@ -273,7 +281,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=k, inter=inter, g_ch=g_ch,
                           j=j_, col_sym=np.asarray(col_s),
-                          col_con=np.asarray(col_c)),
+                          col_con=np.asarray(col_c), tiers=tiers,
+                          interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        jnp.float32),
         grid=grid,

@@ -32,21 +32,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gastx.ops.pallas.precision import kdot, kdot_general
+
+# In-kernel matmuls keyed by the model's precision-override op classes.
+KERNEL_OPS = ("attn_proj", "attn_score", "attn_apply", "attn_cat")
+
 
 def _kernel(x_ref, theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
             g_b_ref, proj_t_ref, proj_p_ref, ck_ref, cat_w_ref,
             scale_ref, shift_ref, out_ref, *, num_heads: int, inter: int,
-            g_ch: int, j: int):
+            g_ch: int, j: int, tiers, interpret: bool):
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
     xr = x_ref[:].reshape(tm * j, c)
 
-    theta = jnp.dot(xr, theta_w_ref[:],
-                    preferred_element_type=jnp.float32) + theta_b_ref[:]
-    phi = jnp.dot(xr, phi_w_ref[:],
-                  preferred_element_type=jnp.float32) + phi_b_ref[:]
-    gx = (jnp.dot(xr, g_w_ref[:],
-                  preferred_element_type=jnp.float32)
+    def dot(a, b, op):  # per-op-class explicit Mosaic precision
+        return kdot(a, b, tiers[op], interpret=interpret)
+
+    theta = dot(xr, theta_w_ref[:], "attn_proj") + theta_b_ref[:]
+    phi = dot(xr, phi_w_ref[:], "attn_proj") + phi_b_ref[:]
+    gx = (dot(xr, g_w_ref[:], "attn_proj")
           + g_b_ref[:]).reshape(tm, j, num_heads * g_ch)
 
     head_outs = []
@@ -54,10 +59,8 @@ def _kernel(x_ref, theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
         # Rank-1 concat_project scores for head k (columns k*I..(k+1)*I).
         tk = theta[:, k * inter:(k + 1) * inter]
         pk = phi[:, k * inter:(k + 1) * inter]
-        a = jnp.dot(tk, proj_t_ref[:, k:k + 1],
-                    preferred_element_type=jnp.float32).reshape(tm, j, 1)
-        b = jnp.dot(pk, proj_p_ref[:, k:k + 1],
-                    preferred_element_type=jnp.float32).reshape(tm, j, 1)
+        a = dot(tk, proj_t_ref[:, k:k + 1], "attn_score").reshape(tm, j, 1)
+        b = dot(pk, proj_p_ref[:, k:k + 1], "attn_score").reshape(tm, j, 1)
         f = a + jnp.swapaxes(b, 1, 2)                  # (TM, Jq, Jm)
         f = jnp.where(f > 0, f, 0.2 * f)               # LeakyReLU(0.2)
         f = f - jnp.max(f, axis=2, keepdims=True)
@@ -69,13 +72,12 @@ def _kernel(x_ref, theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
         # attention application as ONE TM-batched (J,J)@(J,G) dot_general —
         # Mosaic lowers this in-VMEM (an unrolled per-key FMA loop compiles
         # but blows up remote-compiler time at 4 heads x 17 keys)
-        head_outs.append(jax.lax.dot_general(
+        head_outs.append(kdot_general(
             attn, gk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))       # (TM, Jq, G)
+            tiers["attn_apply"], interpret=interpret))  # (TM, Jq, G)
 
     y = jnp.concatenate(head_outs, axis=2)             # (TM, Jq, K*G)
-    y = jnp.dot(y.reshape(tm * j, num_heads * g_ch), cat_w_ref[:],
-                preferred_element_type=jnp.float32)
+    y = dot(y.reshape(tm * j, num_heads * g_ch), cat_w_ref[:], "attn_cat")
     y = y * scale_ref[:] + shift_ref[:]
     out_ref[:] = jnp.maximum(y, 0.0).reshape(tm, j, c)
 
@@ -106,19 +108,29 @@ def _pack(params: Dict, bn_scale, bn_shift):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows",
+                                             "precs"))
 def fused_global_attention(x: jnp.ndarray, params: Dict, bn_scale, bn_shift,
                            *, interpret: bool = False,
-                           tile_rows: int = 0) -> jnp.ndarray:
+                           tile_rows: int = 0,
+                           precs: tuple = ()) -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, C); eval-mode multi_global_graph.
 
     ``bn_scale``/``bn_shift``: the folded cat_bn affine
     (gamma/sqrt(var+eps), beta - mean*gamma/sqrt(var+eps)).
+    ``precs``: static ((op_class, tier), ...) per-matmul precision pairs
+    over KERNEL_OPS (Mosaic rejects ambient HIGH dots — see
+    gastx/ops/pallas/precision.py); unlisted ops inherit the ambient
+    default_matmul_precision.
     """
     b_, t_, j_, c_ = x.shape
     k, _, inter = params["theta_w"].shape
     g_ch = params["g_w"].shape[2]
     packed = _pack(params, bn_scale, bn_shift)
+
+    base = jax.config.jax_default_matmul_precision or "default"
+    tiers = {op: base for op in KERNEL_OPS}
+    tiers.update(dict(precs))
 
     m_total = b_ * t_
     tm = tile_rows or max(8, min(128, 2**15 // c_))  # VMEM-bounded row tile
@@ -134,7 +146,7 @@ def fused_global_attention(x: jnp.ndarray, params: Dict, bn_scale, bn_shift,
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=k, inter=inter, g_ch=g_ch,
-                          j=j_),
+                          j=j_, tiers=tiers, interpret=interpret),
         out_shape=jax.ShapeDtypeStruct(xf.shape, jnp.float32),
         grid=grid,
         in_specs=[

@@ -1,0 +1,79 @@
+"""Explicit matmul-precision control inside Pallas kernels.
+
+``gastnet_forward`` pins ``jax.default_matmul_precision(cfg.matmul_precision)``
+around the whole forward, and that ambient tier leaks into the jaxpr of any
+``pallas_call`` traced under it. Mosaic supports DEFAULT and HIGHEST dots but
+rejects HIGH ("Unsupported dot precision: HIGH"), so every dot inside a kernel
+must carry an explicit precision. ``kdot``/``kdot_general`` map the model's
+per-op precision-tier strings (GastNetConfig.matmul_precision /
+precision_overrides) onto Mosaic-compilable dots:
+
+  "default" -> one bf16 x bf16 -> f32 MXU pass (Precision.DEFAULT)
+  "high"    -> 3-pass error-compensated bf16 product — the same algorithm
+               XLA:TPU uses for HIGH: with a = ah + al (ah = bf16(a)),
+               a@b ~= ah@bh + ah@bl + al@bh
+  "highest" -> Precision.HIGHEST (6-pass)
+
+With ``interpret=True`` the "high" emulation is skipped (plain HIGHEST dot):
+interpret mode runs f32 on CPU where XLA's tiers are all exact anyway, so
+interpret parity tests stay bit-tight against the XLA path — mirroring XLA's
+own platform-dependent tier semantics.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def resolve_tiers(prec_fn: Callable[[str], Optional[str]],
+                  ops: Iterable[str]) -> Tuple[Tuple[str, str], ...]:
+    """Resolve per-op precision tiers for a kernel at its call site.
+
+    ``prec_fn`` is the model's per-op-class resolver (None = no override);
+    unresolved ops inherit the ambient ``jax.default_matmul_precision``
+    context ("default" when unset — XLA's own fallback).
+    """
+    base = jax.config.jax_default_matmul_precision or "default"
+    return tuple((op, prec_fn(op) or base) for op in ops)
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def kdot(a, b, tier: str = "default", *, interpret: bool = False):
+    """2-D ``jnp.dot`` with an explicit Mosaic-supported precision tier."""
+    if tier == "high" and not interpret:
+        ah, al = _split_bf16(a)
+        bh, bl = _split_bf16(b)
+
+        def d(u, v):
+            return jnp.dot(u, v, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    p = (jax.lax.Precision.HIGHEST if tier in ("high", "highest")
+         else jax.lax.Precision.DEFAULT)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=p)
+
+
+def kdot_general(a, b, dims, tier: str = "default", *,
+                 interpret: bool = False):
+    """``jax.lax.dot_general`` with an explicit precision tier."""
+    if tier == "high" and not interpret:
+        ah, al = _split_bf16(a)
+        bh, bl = _split_bf16(b)
+
+        def d(u, v):
+            return jax.lax.dot_general(
+                u, v, dims, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    p = (jax.lax.Precision.HIGHEST if tier in ("high", "highest")
+         else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=p)

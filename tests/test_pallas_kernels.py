@@ -1,10 +1,12 @@
 """Pallas fused-kernel numerics (interpret mode — runs on any backend).
 
-The fused global-attention kernel is numerically verified against the XLA
-path here. NOTE: this host's axon remote Mosaic compiler rejects the 4-D
-small-lane attention shapes (tpu_compile_helper exit 1), so the kernel is not
-wired into the default forward yet; on direct-TPU hosts it compiles the same
-lowering locally. See gastx/ops/pallas/global_attn.py.
+Both fused kernels are verified against the XLA path here and wired into
+the eval forward behind GastNetConfig.gab_impl="pallas" (C<=256 levels run
+the whole-block kernel, wider levels the attention-only kernel for the
+global branch). In-kernel matmul precision is explicit per op class
+(gastx/ops/pallas/precision.py) because Mosaic rejects the ambient HIGH
+tier; in interpret mode all tiers are exact f32, matching XLA-on-CPU, so
+these parity bounds stay tight.
 """
 import jax
 import jax.numpy as jnp

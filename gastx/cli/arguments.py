@@ -49,6 +49,17 @@ def parse_args(argv=None):
                         help="use causal convolutions (real-time)")
     parser.add_argument("-ch", "--channels", default=128, type=int,
                         metavar="N", help="conv channels")
+    # gastx-only TPU knob (no reference equivalent): matmul tier for the
+    # whole train/eval stack. "high" (default) is the bit-study tier every
+    # parity number is quoted at; "mixed"/"default" trade matmul rounding
+    # for +18%/+40% measured train-step throughput (scripts/perf_lab5.py:
+    # both pass the synthetic <30mm convergence gate on-chip; eval-mode
+    # outputs then deviate from the reference beyond the 0.1mm budget, so
+    # bit-study evaluations should stay on "high").
+    parser.add_argument("--matmul-precision", default="high", type=str,
+                        choices=("high", "mixed", "default"),
+                        metavar="TIER",
+                        help="TPU matmul precision tier (gastx-only)")
 
     # Experimental settings
     parser.add_argument("-e", "--epochs", default=60, type=int, metavar="N",

@@ -36,11 +36,18 @@ def build_config(args, dataset, in_features: int = 2) -> GastNetConfig:
     num_joints = dataset.skeleton().num_joints()
     layout = {17: "h36m17", 16: "sh16", 15: "humaneva15",
               19: "h36m19"}[num_joints]
+    tier = getattr(args, "matmul_precision", "high")
+    if tier == "mixed":
+        from gastx.models.config import TPU_MIXED_PRECISION_OVERRIDES
+        precision, overrides = "high", TPU_MIXED_PRECISION_OVERRIDES
+    else:
+        precision, overrides = tier, ()
     return GastNetConfig(
         num_joints_in=num_joints, in_features=in_features,
         num_joints_out=num_joints, filter_widths=filter_widths,
         channels=args.channels, dropout=args.dropout, causal=args.causal,
-        layout=layout)
+        layout=layout, matmul_precision=precision,
+        precision_overrides=overrides)
 
 
 def main(argv=None):

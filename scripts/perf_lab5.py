@@ -1,0 +1,137 @@
+"""Perf lab 5: matmul-precision tiers in the TRAIN step, measured on-chip.
+
+Question: training runs all-"high" (bit-trustworthy but 3-pass). Do the
+faster tiers still converge, and what do they buy? Precision tiers are
+no-ops on CPU, so this is only measurable on the TPU:
+
+  1. convergence: the test_golden.py well-posed synthetic lifting task
+     (520 steps, 3-stage lr decay, <30mm gate) run per tier;
+  2. throughput: full-size (fw 3,3,3, ch 128, B=1024) strided train steps
+     in one lax.scan per tier (same methodology as bench.measure_train_step).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_lab5.py
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gastx.eval.metrics import mpjpe
+from gastx.models import GastNetConfig, gastnet_forward, init_gastnet
+from gastx.models.config import TPU_MIXED_PRECISION_OVERRIDES
+from gastx.train import init_train_state, make_train_step
+
+TIERS = [
+    ("high", "high", ()),
+    ("mixed", "high", TPU_MIXED_PRECISION_OVERRIDES),
+    ("default", "default", ()),
+]
+
+
+def _wellposed_batch(rng, n, rf, num_joints=17):
+    # Same synthetic task as tests/test_golden.py::_wellposed_batch.
+    x2d = rng.standard_normal((n, rf, num_joints, 2)).astype(np.float32) * 0.5
+    j = np.arange(num_joints, dtype=np.float32)
+    a, b = np.cos(0.7 * j), np.sin(1.3 * j + 0.4)
+    x, y = x2d[..., 0], x2d[..., 1]
+    z = 0.3 * (a * x + b * y)
+    x3d = np.stack([x, y, z], axis=-1)
+    x3d = x3d - x3d[:, :, :1]
+    mid = rf // 2
+    return x2d, x3d[:, mid:mid + 1].astype(np.float32)
+
+
+def convergence(prec, overrides):
+    cfg = GastNetConfig(filter_widths=(3, 3), channels=32, dropout=0.0,
+                        matmul_precision=prec,
+                        precision_overrides=tuple(overrides))
+    params, bn_state = init_gastnet(jax.random.PRNGKey(1), cfg)
+    ts = init_train_state(params, bn_state)
+    step = make_train_step(cfg, variant="strided")
+    rf = cfg.receptive_field()
+
+    rng = np.random.default_rng(7)
+    ex2d, ex3d = _wellposed_batch(rng, 256, rf)
+    ex2d, ex3d = jnp.asarray(ex2d), jnp.asarray(ex3d)
+
+    def held_out_mm(ts):
+        pred, _ = gastnet_forward(ts.params, ts.bn_state, ex2d, cfg,
+                                  variant="strided", train=False)
+        target = ex3d.at[:, :, 0].set(0.0)
+        return float(jax.device_get(mpjpe(pred, target))) * 1000.0
+
+    before = held_out_mm(ts)
+    n_steps, batch = 520, 128
+    x2d, x3d = _wellposed_batch(rng, n_steps * batch, rf)
+    w = jnp.ones((batch,), jnp.float32)
+    for i in range(n_steps):
+        sl = slice(i * batch, (i + 1) * batch)
+        lr = 5e-3 if i < 200 else (1e-3 if i < 360 else 2e-4)
+        ts, _ = step(ts, jnp.asarray(x2d[sl]), jnp.asarray(x3d[sl]), w,
+                     jnp.float32(lr), jax.random.PRNGKey(i))
+    return before, held_out_mm(ts)
+
+
+def throughput(prec, overrides, batch=1024, iters=20):
+    from gastx.train.optimizer import scale_by_amsgrad
+
+    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=128, dropout=0.05,
+                        matmul_precision=prec,
+                        precision_overrides=tuple(overrides))
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    tx = scale_by_amsgrad()
+    ts = init_train_state(params, state, tx)
+
+    rng = np.random.default_rng(0)
+    x2d = jnp.asarray(rng.standard_normal((batch, 27, 17, 2)).astype(np.float32))
+    x3d = jnp.asarray(rng.standard_normal((batch, 1, 17, 3)).astype(np.float32))
+    weight = jnp.ones((batch,), jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    @jax.jit
+    def many(ts, x2d, x3d):
+        def body(ts, key):
+            target = x3d.at[:, :, 0].set(0.0)
+
+            def loss_fn(params):
+                pred, new_bn = gastnet_forward(
+                    params, ts.bn_state, x2d, cfg, variant="strided",
+                    train=True, rng=key)
+                err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
+                               axis=(1, 2))
+                return jnp.sum(err * weight) / jnp.sum(weight), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params)
+            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, ts.params, updates)
+            return type(ts)(new_params, new_bn, new_opt), loss
+
+        keys = jax.random.split(jax.random.PRNGKey(1), iters)
+        ts, losses = jax.lax.scan(body, ts, keys)
+        return losses
+
+    jax.device_get(many(ts, x2d, x3d))
+    t0 = time.perf_counter()
+    jax.device_get(many(ts, x2d, x3d))
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    for name, prec, ov in TIERS:
+        thr = throughput(prec, ov)
+        print(f"[{name:8s}] train-step throughput: {thr:9.1f} seq/s",
+              flush=True)
+    for name, prec, ov in TIERS:
+        before, after = convergence(prec, ov)
+        gate = "PASS" if after < 30.0 else "FAIL"
+        print(f"[{name:8s}] convergence: {before:6.1f}mm -> {after:6.2f}mm "
+              f"({gate} <30mm gate)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

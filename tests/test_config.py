@@ -85,3 +85,34 @@ def test_level_qualified_override_forward_runs():
     y, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
                            train=False)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_trainval_matmul_precision_flag():
+    """The gastx-only --matmul-precision trainval knob maps onto the config
+    tiers measured in scripts/perf_lab5.py (high default; mixed = "high" +
+    TPU_MIXED_PRECISION_OVERRIDES; default = all-"default")."""
+    from gastx.cli.arguments import parse_args
+    from gastx.cli.trainval import build_config
+    from gastx.models.config import TPU_MIXED_PRECISION_OVERRIDES
+
+    class _Skel:
+        def num_joints(self):
+            return 17
+
+    class _DS:
+        def skeleton(self):
+            return _Skel()
+
+    base = ["-arc", "3,3", "-ch", "16"]
+    cfg = build_config(parse_args(base), _DS())
+    assert cfg.matmul_precision == "high" and cfg.precision_overrides == ()
+
+    cfg = build_config(parse_args(base + ["--matmul-precision", "mixed"]),
+                       _DS())
+    assert cfg.matmul_precision == "high"
+    assert cfg.precision_overrides == TPU_MIXED_PRECISION_OVERRIDES
+
+    cfg = build_config(parse_args(base + ["--matmul-precision", "default"]),
+                       _DS())
+    assert cfg.matmul_precision == "default"
+    assert cfg.precision_overrides == ()

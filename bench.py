@@ -112,7 +112,12 @@ def get_train_baseline():
 
 
 def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
-    """Steady-state device throughput of the fp32 (parity-mode) forward.
+    """Steady-state device throughput of the PRODUCTION inference forward
+    (config_for_frames: "high" matmuls + the measured mixed-precision
+    overrides, <=0.1mm parity budget). Through r1 this metric ran the
+    all-"high" bit-study config (10.6k seq/s); the r2 history jump to
+    ~13.4k is the adopted mixed preset, not a like-for-like speedup —
+    see DESIGN.md's bench table.
 
     ``iters`` forwards run inside ONE jitted lax.scan and sync once via
     jax.device_get — this measures pure device time. (Per-call timing is
@@ -195,10 +200,15 @@ def measure_gastx_frames(frames: int, batch: int = None,
     return batch * iters / dt
 
 
-def measure_train_step(batch: int = 1024, iters: int = 20) -> float:
+def measure_train_step(batch: int = 1024, iters: int = 20,
+                       matmul_precision: str = "high",
+                       precision_overrides: tuple = ()) -> float:
     """Training hot-loop throughput: full strided-variant train steps
     (forward + backward + amsgrad update + BN stats, main.py:213-243) run
-    back-to-back on device inside one lax.scan."""
+    back-to-back on device inside one lax.scan. ``matmul_precision`` /
+    ``precision_overrides`` select the trainval --matmul-precision tier
+    ("default" = the +40% fast-train mode, convergence-gated in
+    scripts/perf_lab5.py, which reuses this function for its numbers)."""
     import jax
     import jax.numpy as jnp
 
@@ -207,7 +217,9 @@ def measure_train_step(batch: int = 1024, iters: int = 20) -> float:
     from gastx.train.loop import init_train_state
     from gastx.train.optimizer import scale_by_amsgrad
 
-    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=128, dropout=0.05)
+    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=128, dropout=0.05,
+                        matmul_precision=matmul_precision,
+                        precision_overrides=tuple(precision_overrides))
     params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
     tx = scale_by_amsgrad()
     ts = init_train_state(params, state, tx)
@@ -319,8 +331,11 @@ def main():
     baseline = get_baseline()
     emit("27f_17j_lifting_throughput", value, baseline)
     if full:
+        train_base = get_train_baseline()
         emit("27f_17j_train_step_throughput", measure_train_step(),
-             get_train_baseline())
+             train_base)
+        emit("27f_17j_train_step_fast_throughput",
+             measure_train_step(matmul_precision="default"), train_base)
         emit("81f_17j_lifting_throughput", measure_gastx_frames(81))
         emit("243f_17j_lifting_throughput", measure_gastx_frames(243))
         emit("causal_27f_streaming_steps_per_s", measure_streaming_steps())

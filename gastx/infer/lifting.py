@@ -88,9 +88,12 @@ def lift_sequences(
     causal), grouped into length buckets, and lifted in batched jitted calls.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — serving-style data-parallel
-    inference: the per-bucket batch axis is sharded across the mesh (each
-    chip lifts its shard; no collectives are needed) and params/state are
-    replicated. Results are identical to the single-device path.
+    inference: the per-bucket batch axis is sharded across the mesh and
+    params/state are replicated. The forward itself is collective-free;
+    with ``tta=True`` (default) the flipped copies are concatenated along
+    the sharded batch axis, so the final flip-average does incur a small
+    cross-device reshard of the (B, T_out, J, 3) outputs. Results are
+    identical to the single-device path.
     """
     rf = cfg.receptive_field()
     pad = (rf - 1) // 2

@@ -55,8 +55,11 @@ from gastx.ops.pallas.precision import kdot, kdot_general
 MAX_FUSED_CHANNELS = 256
 
 # Every matmul in the fused block, keyed by the model's precision-override
-# op classes (gastx/models/config.py TPU_MIXED_PRECISION_OVERRIDES).
-KERNEL_OPS = ("local_sem", "local_off", "local_cat", "attn_proj",
+# op classes (gastx/models/config.py TPU_MIXED_PRECISION_OVERRIDES). Both
+# W0/W1 semantic-conv matmuls are "local_sem", matching the XLA path
+# (gastx/ops/graph.py:105-106); the XLA "local_off" class is the off-diag
+# einsum contraction, which this kernel realizes as dot-free FMAs.
+KERNEL_OPS = ("local_sem", "local_cat", "attn_proj",
               "attn_score", "attn_apply", "attn_cat", "gab_cat")
 
 
@@ -116,7 +119,7 @@ def _kernel(x_ref,
     # ---- local branch: two sparse semantic graph convs ----
     def sem_conv(w0_ref, w1_ref, wself_ref, wnbr_ref, col):
         h0 = dot(xr, w0_ref[:], "local_sem").reshape(tm, j, c)
-        h1 = dot(xr, w1_ref[:], "local_off").reshape(tm, j, c)
+        h1 = dot(xr, w1_ref[:], "local_sem").reshape(tm, j, c)
         rows = []
         d = col.shape[1]
         for jq in range(j):

@@ -55,6 +55,9 @@ def _make_cv2_writer(fps: int):
 
         def setup(self, fig, outfile, dpi=None):
             super().setup(fig, outfile, dpi=dpi)
+            # canvas.draw() renders at the figure's own dpi, so apply the
+            # requested one (ffmpeg/pillow writers do this via savefig).
+            fig.dpi = self.dpi
 
         def grab_frame(self, **savefig_kwargs):
             self.fig.canvas.draw()

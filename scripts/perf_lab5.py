@@ -13,8 +13,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_lab5.py
 """
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,50 +73,12 @@ def convergence(prec, overrides):
     return before, held_out_mm(ts)
 
 
-def throughput(prec, overrides, batch=1024, iters=20):
-    from gastx.train.optimizer import scale_by_amsgrad
+def throughput(prec, overrides):
+    # One source of truth for the timed step: bench.measure_train_step.
+    import bench
 
-    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=128, dropout=0.05,
-                        matmul_precision=prec,
-                        precision_overrides=tuple(overrides))
-    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
-    tx = scale_by_amsgrad()
-    ts = init_train_state(params, state, tx)
-
-    rng = np.random.default_rng(0)
-    x2d = jnp.asarray(rng.standard_normal((batch, 27, 17, 2)).astype(np.float32))
-    x3d = jnp.asarray(rng.standard_normal((batch, 1, 17, 3)).astype(np.float32))
-    weight = jnp.ones((batch,), jnp.float32)
-    lr = jnp.float32(1e-3)
-
-    @jax.jit
-    def many(ts, x2d, x3d):
-        def body(ts, key):
-            target = x3d.at[:, :, 0].set(0.0)
-
-            def loss_fn(params):
-                pred, new_bn = gastnet_forward(
-                    params, ts.bn_state, x2d, cfg, variant="strided",
-                    train=True, rng=key)
-                err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
-                               axis=(1, 2))
-                return jnp.sum(err * weight) / jnp.sum(weight), new_bn
-
-            (loss, new_bn), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(ts.params)
-            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-            new_params = jax.tree_util.tree_map(
-                lambda p, u: p - lr * u, ts.params, updates)
-            return type(ts)(new_params, new_bn, new_opt), loss
-
-        keys = jax.random.split(jax.random.PRNGKey(1), iters)
-        ts, losses = jax.lax.scan(body, ts, keys)
-        return losses
-
-    jax.device_get(many(ts, x2d, x3d))
-    t0 = time.perf_counter()
-    jax.device_get(many(ts, x2d, x3d))
-    return batch * iters / (time.perf_counter() - t0)
+    return bench.measure_train_step(matmul_precision=prec,
+                                    precision_overrides=tuple(overrides))
 
 
 def main():

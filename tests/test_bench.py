@@ -25,6 +25,11 @@ def test_bench_cli_prints_one_json_line(tmp_path):
     out = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
         cwd=bench.REPO, timeout=900,
+        # A minimal env WITHOUT the axon plugin path: this subprocess must
+        # run on the CPU backend (JAX_PLATFORMS is honored when the axon
+        # site config isn't loaded), and CLAUDE.md's "append, don't
+        # overwrite PYTHONPATH" rule is deliberately inverted here for
+        # that reason.
         env={"PYTHONPATH": bench.REPO, "PATH": "/usr/bin:/bin",
              "JAX_PLATFORMS": "cpu",
              "HOME": str(tmp_path)},

@@ -61,7 +61,6 @@ def test_precision_for_resolution():
 
 def test_mixed_forward_matches_high_on_cpu():
     base = GastNetConfig(filter_widths=(3, 3), channels=16, dropout=0.0)
-    mixed = config_for_frames(27, dropout=0.0)
     mixed = GastNetConfig(
         filter_widths=(3, 3), channels=16, dropout=0.0,
         precision_overrides=TPU_MIXED_PRECISION_OVERRIDES)

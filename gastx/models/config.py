@@ -145,6 +145,12 @@ class GastNetConfig:
 # precision-mixing config faster than TPU_MIXED+attn_proj can stay within
 # the budget — further speed must come from layout/kernel work, not
 # precision.
+#
+# The preset also holds on the deeper shipped architectures (measured
+# on-chip, scripts/perf_lab6.py, worst of 4 seeds vs all-"highest"):
+# 81f/ch64 0.023 mm, 243f/ch32 0.011 mm — shallower channel widths shorten
+# the bf16 dot accumulations, so the 27f/ch128 0.093 mm figure is the
+# binding one.
 TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
     ("local_sem", "default"), ("local_off", "default"),
     ("local_cat", "default"), ("attn_score", "default"),

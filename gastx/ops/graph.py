@@ -293,23 +293,27 @@ def graph_attention_block(
     Reference: model/gast_net.py:8-33. This is where channels double.
 
     ``gab_impl="pallas"`` routes the eval-mode block through the fused
-    whole-block VMEM kernel (gastx/ops/pallas/fused_gab.py) when the
-    channel width fits its VMEM budget; training and wide levels fall back
-    to the XLA path below. Eval-mode BN leaves state untouched, so the
-    fused path returns the input state subtree unchanged.
+    VMEM kernels (gastx/ops/pallas/fused_gab.py): the whole-block kernel
+    up to C=256, the two-kernel split form up to C=512 (the widest level
+    of every shipped config); training falls back to the XLA path below.
     """
-    use_pallas = gab_impl != "xla" and not train
-    if use_pallas:
+    if gab_impl != "xla" and not train:
         from gastx.ops.pallas.fused_gab import (
-            KERNEL_OPS, MAX_FUSED_CHANNELS, fused_gab)
+            KERNEL_OPS, MAX_FUSED_CHANNELS, MAX_SPLIT_CHANNELS, fused_gab,
+            fused_gab_split)
         from gastx.ops.pallas.precision import resolve_tiers
 
-        if x.shape[-1] <= MAX_FUSED_CHANNELS:
-            y = fused_gab(x, params, state,
-                          tuple(int(i) for i in statics.sym_idx),
-                          tuple(int(i) for i in statics.con_idx),
-                          interpret=(gab_impl == "pallas_interpret"),
-                          precs=resolve_tiers(prec, KERNEL_OPS))
+        if x.shape[-1] <= MAX_SPLIT_CHANNELS:
+            # Whole-block kernel while all weights fit VMEM; the two-kernel
+            # split form for the C=512 widest level. Eval-mode BN leaves
+            # state untouched, so both return the input state subtree.
+            fn = (fused_gab if x.shape[-1] <= MAX_FUSED_CHANNELS
+                  else fused_gab_split)
+            y = fn(x, params, state,
+                   tuple(int(i) for i in statics.sym_idx),
+                   tuple(int(i) for i in statics.con_idx),
+                   interpret=(gab_impl == "pallas_interpret"),
+                   precs=resolve_tiers(prec, KERNEL_OPS))
             return y, state
 
     rng_l = rng_g = None
@@ -320,27 +324,10 @@ def graph_attention_block(
         x, params["local"], state["local"], statics,
         train=train, dropout_rate=dropout_rate, rng=rng_l,
         impl=local_impl, prec=prec)
-    if use_pallas:
-        # Whole-block kernel doesn't fit VMEM at this width: still run the
-        # global branch (the block's dominant cost) through the
-        # attention-only kernel, which holds weights through C=512.
-        from gastx.ops.pallas.fused_gab import _fold_bn
-        from gastx.ops.pallas.global_attn import (
-            KERNEL_OPS as ATTN_OPS, fused_global_attention)
-        from gastx.ops.pallas.precision import resolve_tiers
-
-        scale, shift = _fold_bn(params["global"]["cat_bn"],
-                                state["global"]["cat_bn"])
-        globl = fused_global_attention(
-            x, params["global"], scale, shift,
-            interpret=(gab_impl == "pallas_interpret"),
-            precs=resolve_tiers(prec, ATTN_OPS))
-        s_glob = state["global"]
-    else:
-        globl, s_glob = multi_global_graph(
-            x, params["global"], state["global"],
-            train=train, dropout_rate=dropout_rate, rng=rng_g,
-            impl=attn_impl, prec=prec)
+    globl, s_glob = multi_global_graph(
+        x, params["global"], state["global"],
+        train=train, dropout_rate=dropout_rate, rng=rng_g,
+        impl=attn_impl, prec=prec)
 
     y = jnp.concatenate([x, local, globl], axis=-1)
     y = jnp.matmul(y, params["cat_w"], precision=prec("gab_cat"))

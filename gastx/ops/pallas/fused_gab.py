@@ -1,4 +1,4 @@
-"""Fused GraphAttentionBlock — Pallas TPU kernel (eval mode).
+"""Fused GraphAttentionBlock — Pallas TPU kernels (eval mode).
 
 Fuses the ENTIRE graph-attention block (reference model/gast_net.py:8-33):
 
@@ -28,11 +28,21 @@ in-kernel.
 
 VMEM budget: weights are resident — 4C^2 (sym/con W0/W1) + 2C^2 (local cat)
 + 6C^2 (gab cat) + ~2.5C^2 (attention) floats ~= 13 MB at C=512, which does
-NOT leave room for activation tiles. The kernel therefore supports C <= 256
-(levels 0-1 of the 27-frame config, 0-2 of 81f, 0-3 of 243f); above that the
-wiring (gastx/ops/graph.py graph_attention_block) runs the global branch
-through the attention-only kernel (global_attn.py, weights fit through
-C=512) and the rest through XLA.
+NOT leave room for activation tiles in the 16 MB VMEM of one whole-block
+kernel. Two entry points therefore exist:
+
+  * ``fused_gab``       — ONE kernel, C <= MAX_FUSED_CHANNELS (256): levels
+                          0-1 of the 27-frame config, 0-2 of 81f, 0-3 of 243f.
+  * ``fused_gab_split`` — TWO kernels (local branch; global branch + block
+                          concat), each holding only its own ~6.3/10.4 MB of
+                          weights: covers C <= MAX_SPLIT_CHANNELS (512), i.e.
+                          the widest level of every shipped architecture. x is
+                          read twice and the (TM, J, C) local tensor makes one
+                          HBM round-trip — still ~5x less traffic than XLA's
+                          intermediate chain.
+
+The wiring (gastx/ops/graph.py graph_attention_block) picks whole-block,
+then split, then the XLA path by channel width.
 
 Mosaic constraints honored (same bisection as global_attn.py): no 4-D
 small-lane tensors, basic static indexing only, per-head block-column
@@ -53,12 +63,13 @@ from gastx.ops.graph import _MASK_FILL, _local_gather_tables
 from gastx.ops.pallas.precision import kdot, kdot_general
 
 MAX_FUSED_CHANNELS = 256
+MAX_SPLIT_CHANNELS = 512
 
 # Every matmul in the fused block, keyed by the model's precision-override
 # op classes (gastx/models/config.py TPU_MIXED_PRECISION_OVERRIDES). Both
 # W0/W1 semantic-conv matmuls are "local_sem", matching the XLA path
 # (gastx/ops/graph.py:105-106); the XLA "local_off" class is the off-diag
-# einsum contraction, which this kernel realizes as dot-free FMAs.
+# einsum contraction, which these kernels realize as dot-free FMAs.
 KERNEL_OPS = ("local_sem", "local_cat", "attn_proj",
               "attn_score", "attn_apply", "attn_cat", "gab_cat")
 
@@ -93,29 +104,18 @@ def _local_weight_tables(e: jnp.ndarray, mask_idx, j: int):
     return w_self, w_nbr, col, (valid & ~is_diag)
 
 
-def _kernel(x_ref,
-            # local branch
-            w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-            w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
-            bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
-            bncon_shift_ref, lcat_w_ref, lcat_scale_ref, lcat_shift_ref,
-            # global branch
-            theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
-            g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
-            acat_scale_ref, acat_shift_ref,
-            # block concat
-            gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
-            out_ref, *,
-            num_heads: int, inter: int, g_ch: int, j: int,
-            col_sym, col_con, tiers, interpret: bool):
-    tm = x_ref.shape[0]
-    c = x_ref.shape[2]
-    x3 = x_ref[:]                                   # (TM, J, C)
-    xr = x3.reshape(tm * j, c)
+# --------------------------------------------------------------------------
+# Kernel branch bodies, shared by the whole-block and split kernels. Each
+# takes the flat (TM*J, C) activations plus its VMEM weight refs and the
+# per-op `dot` closures, and returns flat activations.
+# --------------------------------------------------------------------------
 
-    def dot(a, b, op):  # per-op-class explicit Mosaic precision
-        return kdot(a, b, tiers[op], interpret=interpret)
-
+def _local_branch(xr, tm, j, c, dot,
+                  w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+                  w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
+                  bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
+                  bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
+                  lcat_shift_ref, col_sym, col_con):
     # ---- local branch: two sparse semantic graph convs ----
     def sem_conv(w0_ref, w1_ref, wself_ref, wnbr_ref, col):
         h0 = dot(xr, w0_ref[:], "local_sem").reshape(tm, j, c)
@@ -138,8 +138,14 @@ def _kernel(x_ref,
     # 2C->C concat matmul as a sum of halves (no lane concat in-kernel)
     local = dot(a, lcat_w_ref[0:c, :], "local_cat") + \
         dot(b, lcat_w_ref[c:2 * c, :], "local_cat")
-    local = jnp.maximum(local * lcat_scale_ref[:] + lcat_shift_ref[:], 0.0)
+    return jnp.maximum(local * lcat_scale_ref[:] + lcat_shift_ref[:], 0.0)
 
+
+def _global_branch(xr, tm, j, c, dot, dotg,
+                   theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
+                   g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
+                   acat_scale_ref, acat_shift_ref,
+                   num_heads, inter, g_ch):
     # ---- global branch (same structure as global_attn._kernel) ----
     theta = dot(xr, theta_w_ref[:], "attn_proj") + theta_b_ref[:]
     phi = dot(xr, phi_w_ref[:], "attn_proj") + phi_b_ref[:]
@@ -159,19 +165,207 @@ def _kernel(x_ref,
         attn = ef / jnp.sum(ef, axis=2, keepdims=True)
         attn = attn + ck_ref[k * j:(k + 1) * j, :]
         gk = gx[:, :, k * g_ch:(k + 1) * g_ch]
-        head_outs.append(kdot_general(
-            attn, gk, (((2,), (1,)), ((0,), (0,))),
-            tiers["attn_apply"], interpret=interpret))
+        head_outs.append(dotg(
+            attn, gk, (((2,), (1,)), ((0,), (0,))), "attn_apply"))
     gy = jnp.concatenate(head_outs, axis=2)
     gy = dot(gy.reshape(tm * j, num_heads * g_ch), acat_w_ref[:], "attn_cat")
-    globl = jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
+    return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
 
+
+def _block_concat(xr, local, globl, c, dot,
+                  gcat_w_ref, gcat_scale_ref, gcat_shift_ref):
     # ---- block concat: [x, local, global] @ (3C -> 2C) ----
     y = dot(xr, gcat_w_ref[0:c, :], "gab_cat") + \
         dot(local, gcat_w_ref[c:2 * c, :], "gab_cat") + \
         dot(globl, gcat_w_ref[2 * c:3 * c, :], "gab_cat")
-    y = jnp.maximum(y * gcat_scale_ref[:] + gcat_shift_ref[:], 0.0)
+    return jnp.maximum(y * gcat_scale_ref[:] + gcat_shift_ref[:], 0.0)
+
+
+def _make_dots(tiers, interpret):
+    def dot(a, b, op):  # per-op-class explicit Mosaic precision
+        return kdot(a, b, tiers[op], interpret=interpret)
+
+    def dotg(a, b, dims, op):
+        return kdot_general(a, b, dims, tiers[op], interpret=interpret)
+    return dot, dotg
+
+
+def _kernel(x_ref,
+            # local branch
+            w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+            w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
+            bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
+            bncon_shift_ref, lcat_w_ref, lcat_scale_ref, lcat_shift_ref,
+            # global branch
+            theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
+            g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
+            acat_scale_ref, acat_shift_ref,
+            # block concat
+            gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
+            out_ref, *,
+            num_heads: int, inter: int, g_ch: int, j: int,
+            col_sym, col_con, tiers, interpret: bool):
+    tm = x_ref.shape[0]
+    c = x_ref.shape[2]
+    xr = x_ref[:].reshape(tm * j, c)
+    dot, dotg = _make_dots(tiers, interpret)
+
+    local = _local_branch(
+        xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
+        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
+        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
+    globl = _global_branch(
+        xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
+        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
+        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
+    y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
+                      gcat_shift_ref)
     out_ref[:] = y.reshape(tm, j, 2 * c)
+
+
+def _kernel_local(x_ref,
+                  w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+                  w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
+                  bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
+                  bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
+                  lcat_shift_ref, out_ref, *,
+                  j: int, col_sym, col_con, tiers, interpret: bool):
+    tm = x_ref.shape[0]
+    c = x_ref.shape[2]
+    xr = x_ref[:].reshape(tm * j, c)
+    dot, _ = _make_dots(tiers, interpret)
+    local = _local_branch(
+        xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
+        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
+        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
+    out_ref[:] = local.reshape(tm, j, c)
+
+
+def _kernel_globcat(x_ref, local_ref,
+                    theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
+                    g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
+                    acat_scale_ref, acat_shift_ref,
+                    gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
+                    out_ref, *,
+                    num_heads: int, inter: int, g_ch: int, j: int,
+                    tiers, interpret: bool):
+    tm = x_ref.shape[0]
+    c = x_ref.shape[2]
+    xr = x_ref[:].reshape(tm * j, c)
+    local = local_ref[:].reshape(tm * j, c)
+    dot, dotg = _make_dots(tiers, interpret)
+    globl = _global_branch(
+        xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
+        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
+        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
+    y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
+                      gcat_shift_ref)
+    out_ref[:] = y.reshape(tm, j, 2 * c)
+
+
+# --------------------------------------------------------------------------
+# Host-side packing shared by both entry points.
+# --------------------------------------------------------------------------
+
+def _full(*_):
+    return (0, 0)
+
+
+def _full3(*_):
+    return (0, 0, 0)
+
+
+def _local_ins(lp, state, sym_idx, con_idx, j_, c_):
+    """(array, spec) pairs for the local branch + the static col tables."""
+    wself_s, wnbr_s, col_s, _ = _local_weight_tables(
+        lp["sym"]["e"], sym_idx, j_)
+    wself_c, wnbr_c, col_c, _ = _local_weight_tables(
+        lp["con"]["e"], con_idx, j_)
+    bnsym = _fold_bn(lp["bn_sym"], state["local"]["bn_sym"])
+    bncon = _fold_bn(lp["bn_con"], state["local"]["bn_con"])
+    lcat = _fold_bn(lp["cat_bn"], state["local"]["cat_bn"])
+    vm = pltpu.VMEM
+    ins = [
+        (lp["sym"]["W0"], pl.BlockSpec((c_, c_), _full, memory_space=vm)),
+        (lp["sym"]["W1"], pl.BlockSpec((c_, c_), _full, memory_space=vm)),
+        (wself_s, pl.BlockSpec((j_, c_), _full, memory_space=vm)),
+        (wnbr_s, pl.BlockSpec(wnbr_s.shape, _full3, memory_space=vm)),
+        (lp["con"]["W0"], pl.BlockSpec((c_, c_), _full, memory_space=vm)),
+        (lp["con"]["W1"], pl.BlockSpec((c_, c_), _full, memory_space=vm)),
+        (wself_c, pl.BlockSpec((j_, c_), _full, memory_space=vm)),
+        (wnbr_c, pl.BlockSpec(wnbr_c.shape, _full3, memory_space=vm)),
+        (bnsym[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bnsym[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bncon[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bncon[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (lp["cat_w"], pl.BlockSpec((2 * c_, c_), _full, memory_space=vm)),
+        (lcat[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (lcat[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+    return ins, np.asarray(col_s), np.asarray(col_c)
+
+
+def _global_ins(gp, state, j_, c_, k, inter, g_ch):
+    acat = _fold_bn(gp["cat_bn"], state["global"]["cat_bn"])
+    vm = pltpu.VMEM
+
+    def cols(w, width):  # (K, C, width) -> (C, K*width), k-major columns
+        return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
+
+    return [
+        (cols(gp["theta_w"], inter),
+         pl.BlockSpec((c_, k * inter), _full, memory_space=vm)),
+        (cols(gp["phi_w"], inter),
+         pl.BlockSpec((c_, k * inter), _full, memory_space=vm)),
+        (cols(gp["g_w"], g_ch),
+         pl.BlockSpec((c_, k * g_ch), _full, memory_space=vm)),
+        (gp["theta_b"].reshape(1, k * inter),
+         pl.BlockSpec((1, k * inter), _full, memory_space=vm)),
+        (gp["phi_b"].reshape(1, k * inter),
+         pl.BlockSpec((1, k * inter), _full, memory_space=vm)),
+        (gp["g_b"].reshape(1, k * g_ch),
+         pl.BlockSpec((1, k * g_ch), _full, memory_space=vm)),
+        (jnp.transpose(gp["proj_theta"]),
+         pl.BlockSpec((inter, k), _full, memory_space=vm)),
+        (jnp.transpose(gp["proj_phi"]),
+         pl.BlockSpec((inter, k), _full, memory_space=vm)),
+        (gp["C_k"].reshape(k * j_, j_),
+         pl.BlockSpec((k * j_, j_), _full, memory_space=vm)),
+        (gp["cat_w"], pl.BlockSpec((k * g_ch, c_), _full, memory_space=vm)),
+        (acat[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (acat[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+
+
+def _concat_ins(params, state, c_):
+    gcat = _fold_bn(params["cat_bn"], state["cat_bn"])
+    vm = pltpu.VMEM
+    return [
+        (params["cat_w"],
+         pl.BlockSpec((3 * c_, 2 * c_), _full, memory_space=vm)),
+        (gcat[0], pl.BlockSpec((1, 2 * c_), _full, memory_space=vm)),
+        (gcat[1], pl.BlockSpec((1, 2 * c_), _full, memory_space=vm)),
+    ]
+
+
+def _resolve_tiers(precs):
+    base = jax.config.jax_default_matmul_precision or "default"
+    tiers = {op: base for op in KERNEL_OPS}
+    tiers.update(dict(precs))
+    return tiers
+
+
+def _tile_rows(x, tile_rows, budget):
+    b_, t_, j_, c_ = x.shape
+    m_total = b_ * t_
+    tm = tile_rows or max(8, min(128, budget // c_))
+    pad = (-m_total) % tm
+    xf = x.reshape(m_total, j_, c_)
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, j_, c_), x.dtype)], axis=0)
+    return xf, tm, m_total, pad
 
 
 @functools.partial(jax.jit,
@@ -186,8 +380,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
     "cat_bn"}). ``sym_idx``/``con_idx``: flat row-major nonzero indices of
     the sym/con adjacencies as tuples (jit-static; from GraphStatics).
-    Requires C <= MAX_FUSED_CHANNELS (weights must stay VMEM-resident
-    alongside the activation tiles).
+    Requires C <= MAX_FUSED_CHANNELS (all weights stay VMEM-resident
+    alongside the activation tiles); use :func:`fused_gab_split` above that.
 
     ``precs``: static ((op_class, tier), ...) pairs over KERNEL_OPS setting
     each in-kernel matmul's precision (see gastx/ops/pallas/precision.py —
@@ -201,100 +395,96 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     lp, gp = params["local"], params["global"]
     k, _, inter = gp["theta_w"].shape
     g_ch = gp["g_w"].shape[2]
+    tiers = _resolve_tiers(precs)
 
-    base = jax.config.jax_default_matmul_precision or "default"
-    tiers = {op: base for op in KERNEL_OPS}
-    tiers.update(dict(precs))
+    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
+    ins = local_ins + _global_ins(gp, state, j_, c_, k, inter, g_ch) \
+        + _concat_ins(params, state, c_)
 
-    # -- host-side (XLA) parameter folding: all input-independent --
-    wself_s, wnbr_s, col_s, _ = _local_weight_tables(
-        lp["sym"]["e"], sym_idx, j_)
-    wself_c, wnbr_c, col_c, _ = _local_weight_tables(
-        lp["con"]["e"], con_idx, j_)
-    bnsym = _fold_bn(lp["bn_sym"], state["local"]["bn_sym"])
-    bncon = _fold_bn(lp["bn_con"], state["local"]["bn_con"])
-    lcat = _fold_bn(lp["cat_bn"], state["local"]["cat_bn"])
-    acat = _fold_bn(gp["cat_bn"], state["global"]["cat_bn"])
-    gcat = _fold_bn(params["cat_bn"], state["cat_bn"])
-
-    def cols(w, width):  # (K, C, width) -> (C, K*width), k-major columns
-        return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
-
-    m_total = b_ * t_
-    tm = tile_rows or max(8, min(128, 2**14 // c_))
-    pad = (-m_total) % tm
-    xf = x.reshape(m_total, j_, c_)
-    if pad:
-        xf = jnp.concatenate([xf, jnp.zeros((pad, j_, c_), x.dtype)], axis=0)
-    grid = (xf.shape[0] // tm,)
-
-    def full(*_):
-        return tuple(0 for _ in range(2))
-
-    def full3(*_):
-        return (0, 0, 0)
-
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**14)
     vm = pltpu.VMEM
-    ins = [
-        # local
-        (lp["sym"]["W0"], pl.BlockSpec((c_, c_), full, memory_space=vm)),
-        (lp["sym"]["W1"], pl.BlockSpec((c_, c_), full, memory_space=vm)),
-        (wself_s, pl.BlockSpec((j_, c_), full, memory_space=vm)),
-        (wnbr_s, pl.BlockSpec(wnbr_s.shape, full3, memory_space=vm)),
-        (lp["con"]["W0"], pl.BlockSpec((c_, c_), full, memory_space=vm)),
-        (lp["con"]["W1"], pl.BlockSpec((c_, c_), full, memory_space=vm)),
-        (wself_c, pl.BlockSpec((j_, c_), full, memory_space=vm)),
-        (wnbr_c, pl.BlockSpec(wnbr_c.shape, full3, memory_space=vm)),
-        (bnsym[0], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        (bnsym[1], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        (bncon[0], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        (bncon[1], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        (lp["cat_w"], pl.BlockSpec((2 * c_, c_), full, memory_space=vm)),
-        (lcat[0], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        (lcat[1], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        # global
-        (cols(gp["theta_w"], inter),
-         pl.BlockSpec((c_, k * inter), full, memory_space=vm)),
-        (cols(gp["phi_w"], inter),
-         pl.BlockSpec((c_, k * inter), full, memory_space=vm)),
-        (cols(gp["g_w"], g_ch),
-         pl.BlockSpec((c_, k * g_ch), full, memory_space=vm)),
-        (gp["theta_b"].reshape(1, k * inter),
-         pl.BlockSpec((1, k * inter), full, memory_space=vm)),
-        (gp["phi_b"].reshape(1, k * inter),
-         pl.BlockSpec((1, k * inter), full, memory_space=vm)),
-        (gp["g_b"].reshape(1, k * g_ch),
-         pl.BlockSpec((1, k * g_ch), full, memory_space=vm)),
-        (jnp.transpose(gp["proj_theta"]),
-         pl.BlockSpec((inter, k), full, memory_space=vm)),
-        (jnp.transpose(gp["proj_phi"]),
-         pl.BlockSpec((inter, k), full, memory_space=vm)),
-        (gp["C_k"].reshape(k * j_, j_),
-         pl.BlockSpec((k * j_, j_), full, memory_space=vm)),
-        (gp["cat_w"], pl.BlockSpec((k * g_ch, c_), full, memory_space=vm)),
-        (acat[0], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        (acat[1], pl.BlockSpec((1, c_), full, memory_space=vm)),
-        # block concat
-        (params["cat_w"],
-         pl.BlockSpec((3 * c_, 2 * c_), full, memory_space=vm)),
-        (gcat[0], pl.BlockSpec((1, 2 * c_), full, memory_space=vm)),
-        (gcat[1], pl.BlockSpec((1, 2 * c_), full, memory_space=vm)),
-    ]
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=k, inter=inter, g_ch=g_ch,
-                          j=j_, col_sym=np.asarray(col_s),
-                          col_con=np.asarray(col_c), tiers=tiers,
+                          j=j_, col_sym=col_s, col_con=col_c, tiers=tiers,
                           interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        jnp.float32),
-        grid=grid,
+        grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
                                memory_space=vm)] + [spec for _, spec in ins],
         out_specs=pl.BlockSpec((tm, j_, 2 * c_), lambda i: (i, 0, 0),
                                memory_space=vm),
         interpret=interpret,
     )(xf, *[arr for arr, _ in ins])
+
+    if pad:
+        out = out[:m_total]
+    return out.reshape(b_, t_, j_, 2 * c_)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sym_idx", "con_idx", "interpret",
+                                    "tile_rows", "precs"))
+def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
+                    sym_idx: tuple, con_idx: tuple, *,
+                    interpret: bool = False, tile_rows: int = 0,
+                    precs: tuple = ()) -> jnp.ndarray:
+    """Same contract as :func:`fused_gab`, for MAX_FUSED_CHANNELS < C <=
+    MAX_SPLIT_CHANNELS (the C=512 widest level of every shipped config).
+
+    Two pallas_calls: the local-branch kernel (sym/con convs + 2C->C cat,
+    ~6.3 MB of weights at C=512) writes the (M, J, C) local tensor to HBM
+    once; the global+concat kernel (~10.4 MB of weights) re-reads x and
+    local and writes the (M, J, 2C) block output.
+    """
+    b_, t_, j_, c_ = x.shape
+    if c_ > MAX_SPLIT_CHANNELS:
+        raise ValueError(
+            f"fused_gab_split supports C <= {MAX_SPLIT_CHANNELS}, got {c_}")
+    lp, gp = params["local"], params["global"]
+    k, _, inter = gp["theta_w"].shape
+    g_ch = gp["g_w"].shape[2]
+    tiers = _resolve_tiers(precs)
+
+    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
+    glob_ins = _global_ins(gp, state, j_, c_, k, inter, g_ch) \
+        + _concat_ins(params, state, c_)
+
+    # Smaller row tiles than the whole-block kernel: the global+concat
+    # kernel holds ~10.4 MB of weights at C=512, leaving ~5 MB for
+    # double-buffered x/local/out tiles.
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**13)
+    vm = pltpu.VMEM
+
+    local = pl.pallas_call(
+        functools.partial(_kernel_local, j=j_, col_sym=col_s, col_con=col_c,
+                          tiers=tiers, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), jnp.float32),
+        grid=(xf.shape[0] // tm,),
+        in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm)]
+        + [spec for _, spec in local_ins],
+        out_specs=pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(xf, *[arr for arr, _ in local_ins])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_globcat, num_heads=k, inter=inter,
+                          g_ch=g_ch, j=j_, tiers=tiers, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
+                                       jnp.float32),
+        grid=(xf.shape[0] // tm,),
+        in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm),
+                  pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm)]
+        + [spec for _, spec in glob_ins],
+        out_specs=pl.BlockSpec((tm, j_, 2 * c_), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(xf, local, *[arr for arr, _ in glob_ins])
 
     if pad:
         out = out[:m_total]

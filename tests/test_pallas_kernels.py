@@ -1,9 +1,10 @@
 """Pallas fused-kernel numerics (interpret mode — runs on any backend).
 
-Both fused kernels are verified against the XLA path here and wired into
+The fused kernels are verified against the XLA path here and wired into
 the eval forward behind GastNetConfig.gab_impl="pallas" (C<=256 levels run
-the whole-block kernel, wider levels the attention-only kernel for the
-global branch). In-kernel matmul precision is explicit per op class
+the whole-block kernel, the C=512 level the two-kernel split form; the
+standalone attention-only kernel stays available for experimentation).
+In-kernel matmul precision is explicit per op class
 (gastx/ops/pallas/precision.py) because Mosaic rejects the ambient HIGH
 tier; in interpret mode all tiers are exact f32, matching XLA-on-CPU, so
 these parity bounds stay tight.
@@ -63,6 +64,32 @@ def test_fused_gab_matches_xla(level, t):
                                rtol=1e-4)
 
 
+def test_fused_gab_split_matches_xla_at_512():
+    """The two-kernel split form (local kernel -> HBM -> global+concat
+    kernel) at the C=512 widest level vs the XLA path."""
+    from gastx.models import graph_statics
+    from gastx.ops.pallas.fused_gab import (
+        MAX_FUSED_CHANNELS, fused_gab_split)
+
+    cfg = GastNetConfig()
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    c = cfg.block_channels(2)
+    assert c == 512 > MAX_FUSED_CHANNELS
+    gp, gs = params["gabs"][2], state["gabs"][2]
+    statics = graph_statics(cfg.layout)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 13, 17, c)).astype(np.float32))
+    ref, _ = G.graph_attention_block(x, gp, gs, statics,
+                                     train=False, dropout_rate=0.0)
+    got = fused_gab_split(x, gp, gs,
+                          tuple(int(i) for i in statics.sym_idx),
+                          tuple(int(i) for i in statics.con_idx),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-4)
+
+
 def test_fused_gab_rejects_wide_channels():
     from gastx.models import graph_statics
     from gastx.ops.pallas.fused_gab import MAX_FUSED_CHANNELS, fused_gab
@@ -81,8 +108,9 @@ def test_fused_gab_rejects_wide_channels():
 
 def test_gab_impl_pallas_full_forward_matches_xla():
     """The gab_impl="pallas" wiring (GastNetConfig flag) end-to-end: the
-    full dilated eval forward with fused blocks (C<=256 levels fused,
-    C=512 level auto-falls back to XLA) matches the default forward."""
+    full dilated eval forward with fused blocks (C<=256 levels whole-block,
+    the C=512 level through the split kernels) matches the default
+    forward."""
     from gastx.models import gastnet_forward
 
     cfg = GastNetConfig(dropout=0.0)

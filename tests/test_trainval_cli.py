@@ -70,3 +70,20 @@ def test_trainval_end_to_end(synthetic_h36m, capsys):
     ])
     out = capsys.readouterr().out
     assert "Protocol #1" in out and "Protocol #2" in out
+
+
+def test_trainval_matmul_precision_mixed_runs(synthetic_h36m, capsys):
+    """The gastx-only --matmul-precision knob through the REAL CLI main
+    loop (1 epoch, mixed tier, 8-device DP mesh). Tiers are CPU no-ops, so
+    this certifies the flag plumbing end-to-end; the on-chip throughput /
+    convergence numbers live in scripts/perf_lab5.py."""
+    ckpt_dir = str(synthetic_h36m / "ckpt_mixed")
+    main([
+        "-e", "1", "-arc", "3,3", "-ch", "16", "-b", "32",
+        "--downsample", "1", "--checkpoint", ckpt_dir,
+        "--checkpoint-frequency", "1", "--matmul-precision", "mixed",
+        "--data-dir", str(synthetic_h36m / "data"),
+    ])
+    out = capsys.readouterr().out
+    assert "3d_valid" in out
+    assert os.path.exists(os.path.join(ckpt_dir, "epoch_1.ckpt"))

@@ -263,9 +263,12 @@ def main(argv=None):
                   "rendered.")
 
         from gastx.infer import lift_sequences
+        # Full channel count: cfg.in_features follows the detections (2, or
+        # 3 with confidence), so no [..., :2] slice (main.py:166-171).
         prediction = lift_sequences(
-            params, bn_state, [input_keypoints[..., :2]], cfg,
-            tta=args.test_time_augmentation)[0]
+            params, bn_state, [input_keypoints], cfg,
+            tta=args.test_time_augmentation,
+            kps_lr=(kps_left, kps_right))[0]
 
         if args.viz_export is not None:
             print("Exporting joint positions to", args.viz_export)
@@ -314,7 +317,8 @@ def main(argv=None):
             run_evaluation(params, bn_state, all_actions, dataset, keypoints,
                            cfg, downsample=args.downsample,
                            tta=args.test_time_augmentation,
-                           action_filter=action_filter)
+                           action_filter=action_filter,
+                           kps_lr=(kps_left, kps_right))
         else:
             for subject in by_subject:
                 print("Evaluating on subject", subject)
@@ -322,7 +326,8 @@ def main(argv=None):
                                dataset, keypoints, cfg,
                                downsample=args.downsample,
                                tta=args.test_time_augmentation,
-                               action_filter=action_filter)
+                               action_filter=action_filter,
+                               kps_lr=(kps_left, kps_right))
                 print("")
 
 

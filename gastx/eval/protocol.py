@@ -30,9 +30,15 @@ def evaluate_sequences(
     *,
     tta: bool = True,
     compute_p2: bool = True,
+    kps_lr=None,
 ) -> Tuple[float, float]:
-    """Returns (MPJPE, P-MPJPE) in mm over the given sequences."""
-    preds = lift_sequences(params, state, poses_2d, cfg, tta=tta)
+    """Returns (MPJPE, P-MPJPE) in mm over the given sequences.
+
+    ``kps_lr``: the 2D detections' (kps_left, kps_right) symmetry for the
+    TTA input flip (see lift_sequences) — required for detections whose
+    joint order differs from the 3D layout (sh_ft_h36m)."""
+    preds = lift_sequences(params, state, poses_2d, cfg, tta=tta,
+                           kps_lr=kps_lr)
 
     e1_sum = 0.0
     e2_sum = 0.0
@@ -64,6 +70,7 @@ def run_evaluation(
     tta: bool = True,
     action_filter: Optional[Sequence[str]] = None,
     log=print,
+    kps_lr=None,
 ) -> Tuple[float, float]:
     """Action-wise protocol run; prints per-action and average P1/P2 in mm."""
     from gastx.data.harness import fetch_actions
@@ -77,7 +84,7 @@ def run_evaluation(
         poses_act, poses_2d_act = fetch_actions(
             all_actions[action_key], dataset, keypoints, downsample)
         e1, e2 = evaluate_sequences(params, state, poses_2d_act, poses_act,
-                                    cfg, tta=tta)
+                                    cfg, tta=tta, kps_lr=kps_lr)
         log(f"----{action_key}----")
         log(f"Test time augmentation: {tta}")
         log(f"Protocol #1 Error (MPJPE): {e1} mm")

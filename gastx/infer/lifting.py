@@ -41,24 +41,40 @@ def _bucket_length(t: int) -> int:
     return max(_BUCKET, ((t + _BUCKET - 1) // _BUCKET) * _BUCKET)
 
 
-def _flip_perm(layout) -> np.ndarray:
-    """Joint permutation swapping left<->right columns (static)."""
-    left, right = list(layout.joints_left), list(layout.joints_right)
-    perm = np.arange(layout.num_joints)
+def _perm_from_lr(left, right, n: int) -> np.ndarray:
+    """Joint permutation swapping the given left<->right columns (static)."""
+    left, right = list(left), list(right)
+    perm = np.arange(n)
     perm[left + right] = perm[right + left].copy()
     return perm
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tta"))
-def _lift_batch(params, state, x, cfg: GastNetConfig, tta: bool):
-    """x: (M, T_padded, J, 2) -> (M, T_out, J, 3), flip-TTA averaged."""
+def _flip_perm(layout) -> np.ndarray:
+    return _perm_from_lr(layout.joints_left, layout.joints_right,
+                         layout.num_joints)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tta", "kps_perm"))
+def _lift_batch(params, state, x, cfg: GastNetConfig, tta: bool,
+                kps_perm: tuple = None):
+    """x: (M, T_padded, J, C_in) -> (M, T_out, J, 3), flip-TTA averaged.
+
+    ``kps_perm``: static left<->right permutation of the 2D INPUT columns.
+    The reference flips inputs with the detection file's keypoints_symmetry
+    and un-flips outputs with the 3D skeleton's joints_left/right
+    (main.py:41-48, common/generators.py:231-233) — the two differ for
+    MPII-ordered SH detections. None = the 3D layout's permutation
+    (correct whenever the 2D data is in the 3D layout's joint order:
+    h36m17/19, the in-the-wild converters, humaneva15).
+    """
     layout = get_layout(cfg.layout)
     perm = _flip_perm(layout)
+    in_perm = np.asarray(kps_perm) if kps_perm is not None else perm
 
     if tta:
         # Mirror: negate x coordinate and swap left/right joints
         # (common/generators.py:231-233).
-        flipped = x.at[..., 0].multiply(-1.0)[:, :, perm]
+        flipped = x.at[..., 0].multiply(-1.0)[:, :, in_perm]
         x = jnp.concatenate([x, flipped], axis=0)
 
     y, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
@@ -81,11 +97,19 @@ def lift_sequences(
     *,
     tta: bool = True,
     mesh=None,
+    kps_lr=None,
 ) -> List[np.ndarray]:
-    """Lift normalized 2D keypoint sequences [(T_i, J, 2)] to [(T_i, J, 3)].
+    """Lift normalized 2D keypoint sequences [(T_i, J, C_in)] to
+    [(T_i, J, 3)].
 
     Sequences are edge-padded by the receptive field (asymmetrically when
     causal), grouped into length buckets, and lifted in batched jitted calls.
+
+    ``kps_lr``: optional (kps_left, kps_right) index lists of the 2D
+    detections' left/right columns (the keypoints file's
+    keypoints_symmetry metadata) used for the TTA input flip when the 2D
+    joint order differs from the 3D layout's — e.g. MPII-ordered
+    sh_ft_h36m detections. None = the 3D layout's symmetry.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — serving-style data-parallel
     inference: the per-bucket batch axis is sharded across the mesh and
@@ -98,6 +122,11 @@ def lift_sequences(
     rf = cfg.receptive_field()
     pad = (rf - 1) // 2
     shift = pad if cfg.causal else 0
+
+    kps_perm = None
+    if kps_lr is not None:
+        kps_perm = tuple(int(i) for i in _perm_from_lr(
+            kps_lr[0], kps_lr[1], cfg.num_joints_in))
 
     # Group by bucketed padded length so each shape compiles once.
     jobs = {}
@@ -134,10 +163,11 @@ def lift_sequences(
         if mesh is not None:
             x = jax.device_put(np.stack(batch), batch_sharding(mesh))
             with mesh:
-                y = np.asarray(_lift_batch(params, state, x, cfg, tta))
+                y = np.asarray(_lift_batch(params, state, x, cfg, tta,
+                                           kps_perm))
         else:
             x = jnp.asarray(np.stack(batch))
-            y = np.asarray(_lift_batch(params, state, x, cfg, tta))
+            y = np.asarray(_lift_batch(params, state, x, cfg, tta, kps_perm))
         for row, i in enumerate(idxs):
             # np.array: callers mutate predictions (height rebase etc.)
             results[i] = np.array(y[row, :sequences[i].shape[0]])

@@ -49,12 +49,13 @@ class GastNetConfig:
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
     # Graph-attention-block implementation for the EVAL-mode forward:
-    # "xla" (default) or "pallas" — the fused whole-block VMEM-resident
-    # kernel (gastx/ops/pallas/fused_gab.py; interpret-verified to 2e-6 vs
-    # the XLA path). Levels with C > 256 and all training steps always take
-    # the XLA path (kernel VMEM budget; see the kernel docstring). NOTE:
-    # this host's remote Mosaic service cannot compile it — verified in
-    # interpret mode + wired for direct-Mosaic TPU hosts.
+    # "xla" (default) or "pallas" — the fused VMEM-resident kernels
+    # (gastx/ops/pallas/fused_gab.py; interpret-verified vs the XLA path):
+    # whole-block kernel for C <= 256, the two-kernel split form for
+    # C <= 512 (the widest level of every shipped config); training steps
+    # always take the XLA path. NOTE: this host's remote Mosaic service
+    # cannot compile kernels containing dots — verified in interpret mode +
+    # wired for healthy-Mosaic TPU hosts.
     gab_impl: str = "xla"
 
     def precision_for(self, op_class: str):

@@ -60,7 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gastx.ops.graph import _MASK_FILL, _local_gather_tables
-from gastx.ops.pallas.precision import kdot, kdot_general
+from gastx.ops.pallas.precision import kdot, kdot_general, tiers_from_pairs
 
 MAX_FUSED_CHANNELS = 256
 MAX_SPLIT_CHANNELS = 512
@@ -350,13 +350,6 @@ def _concat_ins(params, state, c_):
     ]
 
 
-def _resolve_tiers(precs):
-    base = jax.config.jax_default_matmul_precision or "default"
-    tiers = {op: base for op in KERNEL_OPS}
-    tiers.update(dict(precs))
-    return tiers
-
-
 def _tile_rows(x, tile_rows, budget):
     b_, t_, j_, c_ = x.shape
     m_total = b_ * t_
@@ -395,7 +388,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     lp, gp = params["local"], params["global"]
     k, _, inter = gp["theta_w"].shape
     g_ch = gp["g_w"].shape[2]
-    tiers = _resolve_tiers(precs)
+    tiers = tiers_from_pairs(precs, KERNEL_OPS)
 
     local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
     ins = local_ins + _global_ins(gp, state, j_, c_, k, inter, g_ch) \
@@ -445,7 +438,7 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     lp, gp = params["local"], params["global"]
     k, _, inter = gp["theta_w"].shape
     g_ch = gp["g_w"].shape[2]
-    tiers = _resolve_tiers(precs)
+    tiers = tiers_from_pairs(precs, KERNEL_OPS)
 
     local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
     glob_ins = _global_ins(gp, state, j_, c_, k, inter, g_ch) \

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gastx.ops.pallas.precision import kdot, kdot_general
+from gastx.ops.pallas.precision import kdot, kdot_general, tiers_from_pairs
 
 # In-kernel matmuls keyed by the model's precision-override op classes.
 KERNEL_OPS = ("attn_proj", "attn_score", "attn_apply", "attn_cat")
@@ -128,9 +128,7 @@ def fused_global_attention(x: jnp.ndarray, params: Dict, bn_scale, bn_shift,
     g_ch = params["g_w"].shape[2]
     packed = _pack(params, bn_scale, bn_shift)
 
-    base = jax.config.jax_default_matmul_precision or "default"
-    tiers = {op: base for op in KERNEL_OPS}
-    tiers.update(dict(precs))
+    tiers = tiers_from_pairs(precs, KERNEL_OPS)
 
     m_total = b_ * t_
     tm = tile_rows or max(8, min(128, 2**15 // c_))  # VMEM-bounded row tile

@@ -39,6 +39,17 @@ def resolve_tiers(prec_fn: Callable[[str], Optional[str]],
     return tuple((op, prec_fn(op) or base) for op in ops)
 
 
+def tiers_from_pairs(precs: Tuple[Tuple[str, str], ...],
+                     ops: Iterable[str]) -> dict:
+    """((op, tier), ...) static pairs -> complete per-op dict; ops missing
+    from ``precs`` inherit the ambient default_matmul_precision (kernel-side
+    counterpart of resolve_tiers)."""
+    base = jax.config.jax_default_matmul_precision or "default"
+    tiers = {op: base for op in ops}
+    tiers.update(dict(precs))
+    return tiers
+
+
 def _split_bf16(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -73,7 +73,7 @@ def read_video(filename: str, skip: int = 0,
                     break
                 i += 1
                 if limit != -1 and i > limit:
-                    continue
+                    break  # pull-based reader: stop decoding immediately
                 if i > skip:
                     yield frame[:, :, ::-1]  # BGR -> RGB
         finally:

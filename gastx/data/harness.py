@@ -66,10 +66,13 @@ def load_data(dataset_name: str, keypoints_name: str, data_dir: str = "data"):
                 for cam in anim["cameras"]:
                     if "orientation" not in cam:
                         continue
-                    pos_3d = np.asarray(world_to_camera(
+                    # ONE host copy: np.array both materializes the result
+                    # and guarantees writability for the in-place root
+                    # subtraction below (np.asarray of a jax array can be
+                    # a read-only view).
+                    pos_3d = np.array(world_to_camera(
                         anim["positions"], R=cam["orientation"],
                         t=cam["translation"]))
-                    pos_3d = np.array(pos_3d)
                     pos_3d[:, 1:] -= pos_3d[:, :1]
                     positions_3d.append(pos_3d)
                 anim["positions_3d"] = positions_3d

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator
 
 
 class _Stop:
@@ -23,27 +23,53 @@ def prefetch_to_device(iterator: Iterator, transform: Callable,
     arrays (e.g. shard_batch + padding). Batches are transformed in a
     background thread, ``buffer_size`` deep.
 
-    Exceptions in the producer are re-raised at the consumer.
+    Exceptions in the producer are re-raised at the consumer. If the
+    consumer abandons the generator early (break / exception in the train
+    step), GeneratorExit unblocks and stops the producer so neither the
+    thread nor its staged device batches leak.
     """
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """put() that gives up when the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(transform(item))
+                if not _put(transform(item)):
+                    return
+                if stop.is_set():
+                    return
         except BaseException as exc:  # propagate to consumer
-            q.put(exc)
+            _put(exc)
             return
-        q.put(_Stop())
+        _put(_Stop())
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    while True:
-        item = q.get()
-        if isinstance(item, _Stop):
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    thread.join()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, _Stop):
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # Drain anything the producer parked so it can observe `stop`.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=5.0)

@@ -203,6 +203,7 @@ def prepare_2d_sh(archive_pt: Optional[str] = None,
     (data/prepare_data_2d_h36m_sh.py:53-105)."""
     import h5py
     import tarfile
+    import zipfile
     from shutil import rmtree
 
     outputs = []
@@ -210,18 +211,34 @@ def prepare_2d_sh(archive_pt: Optional[str] = None,
                             (archive_ft, "sh_ft_h36m")):
         if not archive:
             continue
-        with tarfile.open(archive) as tar:
-            tar.extractall("sh_tmp")
+        # The pretrained release is a ZIP with an extra h36m/ directory
+        # level ('h36m/<subject>/StackedHourglass/*.h5'); the fine-tuned
+        # one a tar.gz of '<subject>/StackedHourglassFineTuned240/*.h5'
+        # (prepare_data_2d_h36m_sh.py:67-75,86-96). Handle both container
+        # formats and both directory shapes.
+        if zipfile.is_zipfile(archive):
+            with zipfile.ZipFile(archive) as zf:
+                zf.extractall("sh_tmp")
+        else:
+            with tarfile.open(archive) as tar:
+                tar.extractall("sh_tmp")
         out: Dict[str, Dict[str, List]] = {}
-        for subject_dir in sorted(glob("sh_tmp/*")):
+        subject_dirs = sorted(glob("sh_tmp/S*")) or sorted(
+            glob("sh_tmp/*/S*"))
+        assert subject_dirs, "no S* subject directories found in archive"
+        for subject_dir in subject_dirs:
             subject = os.path.basename(subject_dir)
             out[subject] = {}
-            for f in sorted(glob(subject_dir + "/StackedHourglass/*.h5")):
+            files = sorted(glob(subject_dir + "/StackedHourglass*/*.h5"))
+            assert files, f"no .h5 files under {subject_dir}"
+            for f in files:
                 action_cam = os.path.splitext(os.path.basename(f))[0]
                 action, cam = action_cam.rsplit(".", 1)
                 action = action.replace("_", " ").replace("TakingPhoto",
                                                           "Photo") \
                     .replace("WalkingDog", "WalkDog")
+                if subject == "S11" and action == "Directions":
+                    continue  # corrupted video (reference :43-45)
                 with h5py.File(f, "r") as hf:
                     poses = np.array(hf["poses"]).astype("float32")
                 out[subject].setdefault(action, [None] * 4)
@@ -250,10 +267,16 @@ def prepare_2d_generic(input_dir: str, output_suffix: str,
     assert file_list, f"no input files found in {input_dir}"
     for f in file_list:
         path, fname = os.path.split(f)
+        if "_ALL" in fname:
+            continue  # concatenated-cameras file (reference :55-56)
         subject, rest = fname.split("_", 1)
         action, cam = rest.rsplit(".", 2)[:2]
         action = action.replace("_", " ").replace("TakingPhoto", "Photo") \
             .replace("WalkingDog", "WalkDog")
+        if subject == "S11" and action == "Directions":
+            # Corrupted video, absent from the 3D npz
+            # (reference prepare_data_2d_h36m_generic.py:64-66).
+            continue
         keypoints = importer(f)
         out.setdefault(subject, {}).setdefault(action, [None] * 4)
         out[subject][action][int(cam)] = keypoints.astype("float32")

@@ -55,7 +55,40 @@ class CfgNode(dict):
             parts = key.split(".")
             for p in parts[:-1]:
                 node = node[p]
-            node[parts[-1]] = value
+            node[parts[-1]] = _coerce_value(value, node.get(parts[-1]))
+
+
+def _coerce_value(value, old):
+    """yacs-style CLI value decoding (lib/config/default.py semantics via
+    yacs _decode_cfg_value/_check_and_coerce_cfg_value_type): string
+    overrides are literal_eval'd and must match the existing entry's type
+    (int->float and list<->tuple casts allowed)."""
+    if not isinstance(value, str) or old is None or isinstance(old, str):
+        return value
+    import ast
+    try:
+        decoded = ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        low = value.lower()
+        if low in ("true", "false"):
+            decoded = (low == "true")
+        else:
+            raise ValueError(
+                f"cannot decode override {value!r} for a "
+                f"{type(old).__name__} config entry")
+    if isinstance(decoded, type(old)):
+        return decoded
+    if isinstance(old, float) and isinstance(decoded, int):
+        return float(decoded)
+    if isinstance(old, bool) and isinstance(decoded, int):
+        return bool(decoded)
+    if isinstance(old, tuple) and isinstance(decoded, list):
+        return tuple(decoded)
+    if isinstance(old, list) and isinstance(decoded, tuple):
+        return list(decoded)
+    raise ValueError(
+        f"type mismatch for override {value!r}: got "
+        f"{type(decoded).__name__}, config entry is {type(old).__name__}")
 
 
 def _to_cfg(d: Dict) -> CfgNode:

@@ -42,11 +42,11 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step for a model config.
 
-    The step signature is ``step(ts, batch_2d, batch_3d, lr, rng) ->
-    (new_ts, loss)`` with ``batch_2d`` (B, T_in, J, 2), ``batch_3d``
-    (B, T_out, J, 3) camera-space targets (root joint zeroed inside,
-    main.py:225), and ``lr`` a traced scalar so per-epoch decay never
-    recompiles. Compiled once per (config, shapes); under a batch-sharded
+    The step signature is ``step(ts, batch_2d, batch_3d, sample_weight,
+    lr, rng) -> (new_ts, loss)`` with ``batch_2d`` (B, T_in, J, 2),
+    ``batch_3d`` (B, T_out, J, 3) camera-space targets (root joint zeroed
+    inside, main.py:225), ``sample_weight`` (B,) zero for padded filler
+    rows, and ``lr`` a traced scalar so per-epoch decay never recompiles. Compiled once per (config, shapes); under a batch-sharded
     input the gradient reduction rides ICI.
     """
     tx = tx or scale_by_amsgrad()

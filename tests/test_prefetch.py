@@ -36,3 +36,31 @@ def test_prefetch_propagates_exceptions():
     assert next(it) == 1
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_prefetch_early_abandon_stops_producer():
+    """Breaking out of the consumer (e.g. a train-step exception) must not
+    leave the producer thread parked in q.put holding staged batches."""
+    import threading
+
+    produced = []
+    started = threading.active_count()
+
+    def source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    gen = prefetch_to_device(source(), lambda x: x, buffer_size=2)
+    for x in gen:
+        if x == 3:
+            break
+    gen.close()  # GeneratorExit -> stop event -> producer unblocks
+
+    deadline = 50
+    while threading.active_count() > started and deadline > 0:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= started
+    assert len(produced) < 1000  # producer stopped early, not exhausted

@@ -72,4 +72,14 @@ def prefetch_to_device(iterator: Iterator, transform: Callable,
                 q.get_nowait()
         except queue.Empty:
             pass
+        # _put waits are bounded to 0.1s, so the only long block is a
+        # transform() in flight (first-batch jit compiles can take
+        # minutes on this host) — don't stall the consumer for it, but
+        # don't claim the leak is closed either.
         thread.join(timeout=5.0)
+        if thread.is_alive():
+            import warnings
+            warnings.warn(
+                "prefetch producer still inside transform() after 5s; "
+                "the daemon thread will exit after the current batch",
+                RuntimeWarning, stacklevel=2)

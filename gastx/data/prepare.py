@@ -215,40 +215,46 @@ def prepare_2d_sh(archive_pt: Optional[str] = None,
         # level ('h36m/<subject>/StackedHourglass/*.h5'); the fine-tuned
         # one a tar.gz of '<subject>/StackedHourglassFineTuned240/*.h5'
         # (prepare_data_2d_h36m_sh.py:67-75,86-96). Handle both container
-        # formats and both directory shapes.
-        if zipfile.is_zipfile(archive):
-            with zipfile.ZipFile(archive) as zf:
-                zf.extractall("sh_tmp")
-        else:
-            with tarfile.open(archive) as tar:
-                tar.extractall("sh_tmp")
-        out: Dict[str, Dict[str, List]] = {}
-        subject_dirs = sorted(glob("sh_tmp/S*")) or sorted(
-            glob("sh_tmp/*/S*"))
-        assert subject_dirs, "no S* subject directories found in archive"
-        for subject_dir in subject_dirs:
-            subject = os.path.basename(subject_dir)
-            out[subject] = {}
-            files = sorted(glob(subject_dir + "/StackedHourglass*/*.h5"))
-            assert files, f"no .h5 files under {subject_dir}"
-            for f in files:
-                action_cam = os.path.splitext(os.path.basename(f))[0]
-                action, cam = action_cam.rsplit(".", 1)
-                action = action.replace("_", " ").replace("TakingPhoto",
-                                                          "Photo") \
-                    .replace("WalkingDog", "WalkDog")
-                if subject == "S11" and action == "Directions":
-                    continue  # corrupted video (reference :43-45)
-                with h5py.File(f, "r") as hf:
-                    poses = np.array(hf["poses"]).astype("float32")
-                out[subject].setdefault(action, [None] * 4)
-                cam_ids = ["54138969", "55011271", "58860488", "60457274"]
-                out[subject][action][cam_ids.index(cam)] = poses
-        output = f"data_2d_h36m_{suffix}.npz"
-        np.savez_compressed(os.path.splitext(output)[0], positions_2d=out,
-                            metadata=MPII_METADATA)
-        outputs.append(output)
-        rmtree("sh_tmp")
+        # formats and both directory shapes. Clean sh_tmp before AND after
+        # (try/finally): a failed previous run must never leave stale
+        # subject trees that a later run would silently convert.
+        rmtree("sh_tmp", ignore_errors=True)
+        try:
+            if zipfile.is_zipfile(archive):
+                with zipfile.ZipFile(archive) as zf:
+                    zf.extractall("sh_tmp")
+            else:
+                with tarfile.open(archive) as tar:
+                    tar.extractall("sh_tmp")
+            out: Dict[str, Dict[str, List]] = {}
+            subject_dirs = sorted(glob("sh_tmp/S*")) or sorted(
+                glob("sh_tmp/*/S*"))
+            assert subject_dirs, "no S* subject directories found in archive"
+            for subject_dir in subject_dirs:
+                subject = os.path.basename(subject_dir)
+                out[subject] = {}
+                files = sorted(glob(subject_dir + "/StackedHourglass*/*.h5"))
+                assert files, f"no .h5 files under {subject_dir}"
+                for f in files:
+                    action_cam = os.path.splitext(os.path.basename(f))[0]
+                    action, cam = action_cam.rsplit(".", 1)
+                    action = action.replace("_", " ").replace(
+                        "TakingPhoto", "Photo").replace("WalkingDog",
+                                                        "WalkDog")
+                    if subject == "S11" and action == "Directions":
+                        continue  # corrupted video (reference :43-45)
+                    with h5py.File(f, "r") as hf:
+                        poses = np.array(hf["poses"]).astype("float32")
+                    out[subject].setdefault(action, [None] * 4)
+                    cam_ids = ["54138969", "55011271", "58860488",
+                               "60457274"]
+                    out[subject][action][cam_ids.index(cam)] = poses
+            output = f"data_2d_h36m_{suffix}.npz"
+            np.savez_compressed(os.path.splitext(output)[0],
+                                positions_2d=out, metadata=MPII_METADATA)
+            outputs.append(output)
+        finally:
+            rmtree("sh_tmp", ignore_errors=True)
     return outputs
 
 

@@ -76,12 +76,12 @@ def _coerce_value(value, old):
             raise ValueError(
                 f"cannot decode override {value!r} for a "
                 f"{type(old).__name__} config entry")
-    if isinstance(decoded, type(old)):
+    # Exact type match (not isinstance: bool must not leak into int
+    # entries — yacs raises there too).
+    if type(decoded) is type(old):
         return decoded
-    if isinstance(old, float) and isinstance(decoded, int):
+    if isinstance(old, float) and type(decoded) is int:
         return float(decoded)
-    if isinstance(old, bool) and isinstance(decoded, int):
-        return bool(decoded)
     if isinstance(old, tuple) and isinstance(decoded, list):
         return tuple(decoded)
     if isinstance(old, list) and isinstance(decoded, tuple):

@@ -94,7 +94,12 @@ def _save_animation(anim, output: str, fps: int, bitrate: int) -> None:
             return
         try:
             anim.save(output, dpi=80, writer=_make_cv2_writer(fps))
-        except Exception as exc:  # no usable encoder: animated GIF
+        except (ImportError, RuntimeError) as exc:
+            # Only encoder-unavailability (no cv2 / VideoWriter won't
+            # open) falls back to GIF; genuine render bugs propagate.
+            import os
+            if os.path.exists(output):
+                os.unlink(output)  # drop the partial mp4
             fallback = output[:-4] + ".gif"
             print(f"WARNING: no mp4 encoder ({exc}); "
                   f"writing {fallback} instead")

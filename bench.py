@@ -213,8 +213,7 @@ def measure_train_step(batch: int = 1024, iters: int = 20,
     import jax.numpy as jnp
 
     from gastx.models import GastNetConfig, init_gastnet
-    from gastx.models.gastnet import gastnet_forward
-    from gastx.train.loop import init_train_state
+    from gastx.train.loop import init_train_state, train_step_body
     from gastx.train.optimizer import scale_by_amsgrad
 
     cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=128, dropout=0.05,
@@ -235,28 +234,15 @@ def measure_train_step(batch: int = 1024, iters: int = 20,
     weight = jnp.ones((batch,), jnp.float32)
     lr = jnp.float32(1e-3)
 
-    # One scan carrying TrainState so iterations serialize on device; this
-    # is the same step body make_train_step jits, timed without the ~30ms
-    # axon per-dispatch RTT.
+    # One scan carrying TrainState so iterations serialize on device; the
+    # scanned body IS gastx.train.loop.train_step_body — the exact
+    # computation make_train_step jits — timed without the ~30ms axon
+    # per-dispatch RTT.
     @jax.jit
     def many(ts, x2d, x3d):
         def body(ts, key):
-            target = x3d.at[:, :, 0].set(0.0)
-
-            def loss_fn(params):
-                pred, new_bn = gastnet_forward(
-                    params, ts.bn_state, x2d, cfg, variant="strided",
-                    train=True, rng=key)
-                err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
-                               axis=(1, 2))
-                return jnp.sum(err * weight) / jnp.sum(weight), new_bn
-
-            (loss, new_bn), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(ts.params)
-            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-            new_params = jax.tree_util.tree_map(
-                lambda p, u: p - lr * u, ts.params, updates)
-            return type(ts)(new_params, new_bn, new_opt), loss
+            return train_step_body(cfg, "strided", tx, ts, x2d, x3d,
+                                   weight, lr, key)
 
         keys = jax.random.split(jax.random.PRNGKey(1), iters)
         ts, losses = jax.lax.scan(body, ts, keys)

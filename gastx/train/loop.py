@@ -35,6 +35,45 @@ def init_train_state(params, bn_state,
                       opt_state=tx.init(params))
 
 
+def train_step_body(
+    cfg: GastNetConfig,
+    variant: str,
+    tx: optax.GradientTransformation,
+    ts: TrainState,
+    batch_2d, batch_3d, sample_weight, lr, rng,
+) -> Tuple[TrainState, jnp.ndarray]:
+    """The train-step computation itself (un-jitted): root-zeroed target,
+    weighted-MPJPE loss, grads, optimizer update (main.py:213-243). The
+    SINGLE source of the step's numerics — make_train_step jits it and
+    bench.measure_train_step scan-times it, so the benched program is the
+    trained program by construction.
+    """
+    target = batch_3d.at[:, :, 0].set(0.0)
+
+    def loss_fn(params):
+        pred, new_bn = gastnet_forward(params, ts.bn_state, batch_2d,
+                                       cfg, variant=variant, train=True,
+                                       rng=rng)
+        # Per-sample weighted MPJPE: ragged final batches are padded to
+        # a fixed shape with zero-weight filler samples, so the loss and
+        # its direct gradient equal the reference's partial-batch mean
+        # while shapes stay jit-stable. (Filler rows do still enter
+        # train-mode BN batch statistics — a small, documented
+        # divergence on the final batch of each epoch, alongside the
+        # global-batch-BN one; see PARITY.md.)
+        err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
+                       axis=(1, 2))
+        loss = jnp.sum(err * sample_weight) / jnp.sum(sample_weight)
+        return loss, new_bn
+
+    (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        ts.params)
+    updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p - lr * u, ts.params, updates)
+    return TrainState(new_params, new_bn, new_opt), loss
+
+
 def make_train_step(
     cfg: GastNetConfig,
     variant: str = "strided",
@@ -46,38 +85,17 @@ def make_train_step(
     lr, rng) -> (new_ts, loss)`` with ``batch_2d`` (B, T_in, J, 2),
     ``batch_3d`` (B, T_out, J, 3) camera-space targets (root joint zeroed
     inside, main.py:225), ``sample_weight`` (B,) zero for padded filler
-    rows, and ``lr`` a traced scalar so per-epoch decay never recompiles. Compiled once per (config, shapes); under a batch-sharded
-    input the gradient reduction rides ICI.
+    rows, and ``lr`` a traced scalar so per-epoch decay never recompiles.
+    Compiled once per (config, shapes); under a batch-sharded input the
+    gradient reduction rides ICI.
     """
     tx = tx or scale_by_amsgrad()
 
     @functools.partial(jax.jit, donate_argnames=("ts",))
     def step(ts: TrainState, batch_2d, batch_3d, sample_weight, lr, rng
              ) -> Tuple[TrainState, jnp.ndarray]:
-        target = batch_3d.at[:, :, 0].set(0.0)
-
-        def loss_fn(params):
-            pred, new_bn = gastnet_forward(params, ts.bn_state, batch_2d,
-                                           cfg, variant=variant, train=True,
-                                           rng=rng)
-            # Per-sample weighted MPJPE: ragged final batches are padded to
-            # a fixed shape with zero-weight filler samples, so the loss and
-            # its direct gradient equal the reference's partial-batch mean
-            # while shapes stay jit-stable. (Filler rows do still enter
-            # train-mode BN batch statistics — a small, documented
-            # divergence on the final batch of each epoch, alongside the
-            # global-batch-BN one; see PARITY.md.)
-            err = jnp.mean(jnp.linalg.norm(pred - target, axis=-1),
-                           axis=(1, 2))
-            loss = jnp.sum(err * sample_weight) / jnp.sum(sample_weight)
-            return loss, new_bn
-
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            ts.params)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p - lr * u, ts.params, updates)
-        return TrainState(new_params, new_bn, new_opt), loss
+        return train_step_body(cfg, variant, tx, ts, batch_2d, batch_3d,
+                               sample_weight, lr, rng)
 
     return step
 

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gastx.data.synthetic import (CONVERGENCE_BATCH, CONVERGENCE_STEPS,
+                                  convergence_lr,
+                                  wellposed_batch as _wellposed_batch)
 from gastx.eval.metrics import mpjpe
 from gastx.models import GastNetConfig, gastnet_forward, init_gastnet
 from gastx.models.config import TPU_MIXED_PRECISION_OVERRIDES
@@ -27,19 +30,6 @@ TIERS = [
     ("mixed", "high", TPU_MIXED_PRECISION_OVERRIDES),
     ("default", "default", ()),
 ]
-
-
-def _wellposed_batch(rng, n, rf, num_joints=17):
-    # Same synthetic task as tests/test_golden.py::_wellposed_batch.
-    x2d = rng.standard_normal((n, rf, num_joints, 2)).astype(np.float32) * 0.5
-    j = np.arange(num_joints, dtype=np.float32)
-    a, b = np.cos(0.7 * j), np.sin(1.3 * j + 0.4)
-    x, y = x2d[..., 0], x2d[..., 1]
-    z = 0.3 * (a * x + b * y)
-    x3d = np.stack([x, y, z], axis=-1)
-    x3d = x3d - x3d[:, :, :1]
-    mid = rf // 2
-    return x2d, x3d[:, mid:mid + 1].astype(np.float32)
 
 
 def convergence(prec, overrides):
@@ -62,12 +52,12 @@ def convergence(prec, overrides):
         return float(jax.device_get(mpjpe(pred, target))) * 1000.0
 
     before = held_out_mm(ts)
-    n_steps, batch = 520, 128
+    n_steps, batch = CONVERGENCE_STEPS, CONVERGENCE_BATCH
     x2d, x3d = _wellposed_batch(rng, n_steps * batch, rf)
     w = jnp.ones((batch,), jnp.float32)
     for i in range(n_steps):
         sl = slice(i * batch, (i + 1) * batch)
-        lr = 5e-3 if i < 200 else (1e-3 if i < 360 else 2e-4)
+        lr = convergence_lr(i)
         ts, _ = step(ts, jnp.asarray(x2d[sl]), jnp.asarray(x3d[sl]), w,
                      jnp.float32(lr), jax.random.PRNGKey(i))
     return before, held_out_mm(ts)

@@ -29,16 +29,28 @@ def max_err_mm(frames: int) -> float:
     mixed = config_for_frames(frames, dropout=0.0)
     exact = dataclasses.replace(mixed, matmul_precision="highest",
                                 precision_overrides=())
+
+    # Hoisted jits: shapes/configs are constant across seeds, so each
+    # forward compiles ONCE per frame count (fresh per-seed lambdas would
+    # miss the jit cache and recompile 1-5 min every iteration).
+    @jax.jit
+    def fwd_mixed(p, s, xx):
+        return gastnet_forward(p, s, xx, mixed, variant="dilated",
+                               train=False)[0]
+
+    @jax.jit
+    def fwd_exact(p, s, xx):
+        return gastnet_forward(p, s, xx, exact, variant="dilated",
+                               train=False)[0]
+
     worst = 0.0
     for seed in range(SEEDS):
         params, state = init_gastnet(jax.random.PRNGKey(seed), mixed)
         rng = np.random.default_rng(seed)
         x = jnp.asarray(rng.standard_normal(
             (BATCH, frames, 17, 2)).astype(np.float32))
-        y_m, _ = jax.jit(lambda p, s, xx: gastnet_forward(
-            p, s, xx, mixed, variant="dilated", train=False))(params, state, x)
-        y_e, _ = jax.jit(lambda p, s, xx: gastnet_forward(
-            p, s, xx, exact, variant="dilated", train=False))(params, state, x)
+        y_m = fwd_mixed(params, state, x)
+        y_e = fwd_exact(params, state, x)
         d = float(jnp.max(jnp.abs(jax.device_get(y_m) - jax.device_get(y_e))))
         worst = max(worst, d * 1000.0)
         print(f"  frames={frames} seed={seed}: {d*1000.0:.4f} mm", flush=True)

@@ -69,7 +69,11 @@ def test_chunked_matches_reference(augment, chunk_length, pad, causal_shift):
     for (rc, r3, r2), (gc, g3, g2) in zip(ref.next_epoch(), got.next_epoch()):
         np.testing.assert_allclose(g2, r2, atol=1e-6)
         np.testing.assert_allclose(g3, r3, atol=1e-6)
-        np.testing.assert_allclose(gc, rc[:len(gc)], atol=1e-6)
+        # Full equality incl. row count: the reference trims batch_cam to
+        # the chunk count (common/generators.py yield), so dropped camera
+        # rows must fail here.
+        assert gc.shape == rc.shape
+        np.testing.assert_allclose(gc, rc, atol=1e-6)
         n_ref += len(r2)
         n_got += len(g2)
     assert n_ref == n_got > 0
@@ -125,8 +129,14 @@ def test_endless_state_resume():
     it = gen.next_epoch()
     first = next(it)[2].copy()
     state = gen.state
-    # A new iterator with the saved state continues from batch 1, not 0.
-    gen.state = state
-    it2 = gen.next_epoch()
-    second = next(it2)[2]
+    expected_second = next(it)[2].copy()  # the original stream's batch 1
+
+    # A FRESH batcher restored from the saved state must resume exactly at
+    # batch 1 of the original stream (the --resume-under-DP contract) —
+    # not restart the epoch.
+    gen2 = ChunkedBatcher(8, None, None, poses_2d, chunk_length=1, pad=2,
+                          shuffle=True, endless=True)
+    gen2.state = state
+    second = next(gen2.next_epoch())[2]
     assert not np.allclose(first, second)
+    np.testing.assert_array_equal(second, expected_second)

@@ -91,25 +91,15 @@ def test_golden_losses_8dev_mesh():
 
 # -- convergence gate ---------------------------------------------------------
 
-def _wellposed_batch(rng, n, rf, num_joints=17):
-    """2D keypoints with a deterministic per-joint linear depth
-    z_j = 0.3 (a_j x_j + b_j y_j).
-
-    The 3D target is (x, y, z) root-relative, so an exact solution exists and
-    a healthy train stack drives held-out MPJPE from ~870mm toward 0. (A
-    smooth *nonlinear* depth converges too, just ~3x slower — measured while
-    calibrating this gate — so linear keeps the CI budget small without
-    weakening the regression signal.)
-    """
-    x2d = rng.standard_normal((n, rf, num_joints, 2)).astype(np.float32) * 0.5
-    j = np.arange(num_joints, dtype=np.float32)
-    a, b = np.cos(0.7 * j), np.sin(1.3 * j + 0.4)
-    x, y = x2d[..., 0], x2d[..., 1]
-    z = 0.3 * (a * x + b * y)
-    x3d = np.stack([x, y, z], axis=-1)
-    x3d = x3d - x3d[:, :, :1]  # root-relative, matching the training target
-    mid = rf // 2
-    return x2d, x3d[:, mid:mid + 1].astype(np.float32)
+# Task + schedule live in gastx.data.synthetic so the on-chip
+# precision-tier lab (scripts/perf_lab5.py) measures the SAME gate.
+from gastx.data.synthetic import (  # noqa: E402
+    CONVERGENCE_BATCH,
+    CONVERGENCE_GATE_MM,
+    CONVERGENCE_STEPS,
+    convergence_lr,
+    wellposed_batch as _wellposed_batch,
+)
 
 
 def test_training_converges_below_30mm():
@@ -135,17 +125,17 @@ def test_training_converges_below_30mm():
         return float(mpjpe(pred, target)) * 1000.0
 
     before = held_out_mm(ts)
-    n_steps, batch = 520, 128
+    n_steps, batch = CONVERGENCE_STEPS, CONVERGENCE_BATCH
     x2d, x3d = _wellposed_batch(rng, n_steps * batch, rf)
     w = jnp.ones((batch,), jnp.float32)
     for i in range(n_steps):
         sl = slice(i * batch, (i + 1) * batch)
-        lr = 5e-3 if i < 200 else (1e-3 if i < 360 else 2e-4)
+        lr = convergence_lr(i)
         ts, _ = step(ts, jnp.asarray(x2d[sl]), jnp.asarray(x3d[sl]), w,
                      jnp.float32(lr), jax.random.PRNGKey(i))
     after = held_out_mm(ts)
     assert before > 400.0, f"untrained error suspiciously low: {before:.1f}mm"
-    assert after < 30.0, (
+    assert after < CONVERGENCE_GATE_MM, (
         f"convergence gate failed: {before:.1f}mm -> {after:.1f}mm (>=30mm)")
 
 

@@ -39,7 +39,11 @@ def test_deterministic_random_stable():
     a = deterministic_random(0, 100, "hello")
     b = deterministic_random(0, 100, "hello")
     assert a == b and 0 <= a < 100
-    assert deterministic_random(0, 100, "other") != a or True  # just runs
+    # The string argument must actually steer the value (the reference's
+    # byteorder typo class of bug): across several seeds at least one
+    # other-string draw must differ.
+    assert any(deterministic_random(0, 100, f"other{i}") != a
+               for i in range(8))
 
 
 def test_fetch_downsample():

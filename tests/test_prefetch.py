@@ -23,8 +23,10 @@ def test_prefetch_overlaps_producer_and_consumer():
     for _ in prefetch_to_device(slow_source(), lambda x: x):
         time.sleep(0.05)  # consumer work
     elapsed = time.perf_counter() - t0
-    # serial would be ~0.6s; overlapped ~0.35s
-    assert elapsed < 0.52
+    # serial would be ~0.6s; overlapped ~0.35s. Bound chosen with slack
+    # for scheduler jitter on the 1-core CI host (a parallel XLA compile
+    # can hold the core) while still failing a fully-serial pipeline.
+    assert elapsed < 0.57
 
 
 def test_prefetch_propagates_exceptions():

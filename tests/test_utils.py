@@ -16,7 +16,8 @@ def test_benchmark_reports_sane_stats():
     x = jnp.ones((128, 128))
     stats = benchmark(f, x, iters=5, warmup=1, items_per_call=128)
     assert stats["mean_ms"] > 0
-    assert stats["p50_ms"] <= stats["p90_ms"] * 1.5 + 1e9  # present
+    assert {"p50_ms", "p90_ms"} <= stats.keys()
+    assert 0 < stats["p50_ms"] <= stats["p90_ms"]  # percentile ordering
     assert stats["items_per_s"] > 0
 
 

@@ -22,35 +22,11 @@ requires_reference = pytest.mark.skipif(
 
 def _write_biased_yolo_weights(path, blocks, seed=0, obj_bias=3.0):
     """Random darknet weights with the objectness biases lifted so the
-    random detector actually emits above-threshold boxes."""
-    from gastx.pipeline.yolo.model import _infer_channels
+    random detector actually emits above-threshold boxes (one shared
+    serializer with test_yolo — the weight layout must not fork)."""
+    from test_yolo import _write_random_weights
 
-    rng = np.random.default_rng(seed)
-    chans = _infer_channels(blocks, int(blocks[0].get("channels", 3)))
-    floats = []
-    for i, b in enumerate(blocks[1:]):
-        if b["type"] != "convolutional":
-            continue
-        f = int(b["filters"])
-        k = int(b["size"])
-        c_in = chans[i]
-        if int(b.get("batch_normalize", 0)) == 1:
-            floats.append(rng.standard_normal(f) * 0.1)
-            floats.append(rng.standard_normal(f) * 0.1 + 1.0)
-            floats.append(rng.standard_normal(f) * 0.1)
-            floats.append(np.abs(rng.standard_normal(f)) + 0.5)
-        else:
-            bias = rng.standard_normal(f) * 0.1
-            if f == 255:  # detection head: 3 anchors x (5 + 80)
-                bias = bias.reshape(3, 85)
-                bias[:, 4] += obj_bias       # objectness logit
-                bias[:, 5] += obj_bias       # person-class logit
-                bias = bias.reshape(-1)
-            floats.append(bias)
-        floats.append(rng.standard_normal(f * c_in * k * k) * 0.1)
-    with open(path, "wb") as fh:
-        np.zeros(5, np.int32).tofile(fh)
-        np.concatenate(floats).astype(np.float32).tofile(fh)
+    _write_random_weights(path, blocks, seed=seed, obj_bias=obj_bias)
 
 
 @pytest.fixture(scope="module")

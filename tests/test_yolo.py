@@ -136,7 +136,10 @@ random=1
 """
 
 
-def _write_random_weights(path, blocks, seed=0):
+def _write_random_weights(path, blocks, seed=0, obj_bias=0.0):
+    """Random darknet-format weights. ``obj_bias`` lifts the detection
+    heads' objectness/person-class bias logits so a random detector emits
+    above-threshold boxes (used by the e2e pipeline tests)."""
     rng = np.random.default_rng(seed)
     chans = _infer_channels(blocks, int(blocks[0].get("channels", 3)))
     floats = []
@@ -152,7 +155,13 @@ def _write_random_weights(path, blocks, seed=0):
             floats.append(rng.standard_normal(f) * 0.1)       # bn mean
             floats.append(np.abs(rng.standard_normal(f)) + 0.5)  # bn var
         else:
-            floats.append(rng.standard_normal(f) * 0.1)       # conv bias
+            bias = rng.standard_normal(f) * 0.1               # conv bias
+            if obj_bias and f == 255:  # detection head: 3 anchors x (5+80)
+                bias = bias.reshape(3, 85)
+                bias[:, 4] += obj_bias       # objectness logit
+                bias[:, 5] += obj_bias       # person-class logit
+                bias = bias.reshape(-1)
+            floats.append(bias)
         floats.append(rng.standard_normal(f * c_in * k * k) * 0.1)
     with open(path, "wb") as fh:
         np.zeros(5, np.int32).tofile(fh)

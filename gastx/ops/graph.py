@@ -206,12 +206,20 @@ def multi_global_graph(
       scores are a 3-D (M, Jq, Jm) tensor — Jm lives in lanes, softmax is a
       lane reduction — and the application is a single M-batched
       (Jq,Jm)@(Jm,G) dot_general. ~4x less padded attention traffic.
+    * ``impl="pallas_head"`` (eval only; "+_interpret" for CPU) keeps the
+      projections and output matmul in XLA but runs each head's
+      score/softmax/apply chain in the single-head Pallas kernel
+      (gastx/ops/pallas/head_attn.py), so the padding-hostile (M, Jq, Jm)
+      score tensors never touch HBM. One kernel compile, K invocations —
+      sized for this host's dot-count-limited remote Mosaic compiler.
     """
     b_, t_, j_, c_ = x.shape
     k, _, i = params["theta_w"].shape
     g_ch = params["g_w"].shape[2]
     m = b_ * t_
     xf = x.reshape(m * j_, c_)
+    if impl.startswith("pallas_head") and train:
+        impl = "batched"  # kernel has no vjp; train uses the XLA path
 
     def cols(w, width):  # (K, C, width) -> (C, K*width), head-major columns
         return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
@@ -225,6 +233,28 @@ def multi_global_graph(
     gx = jnp.matmul(xf, cols(params["g_w"], g_ch),
                     precision=prec("attn_proj")) + \
         params["g_b"].reshape(k * g_ch)
+
+    if impl.startswith("pallas_head"):
+        from gastx.ops.pallas.head_attn import head_attention
+
+        t3 = theta.reshape(m, j_, k * i)
+        p3 = phi.reshape(m, j_, k * i)
+        g3 = gx.reshape(m, j_, k * g_ch)
+        outs = []
+        for h in range(k):
+            outs.append(head_attention(
+                t3[:, :, h * i:(h + 1) * i], p3[:, :, h * i:(h + 1) * i],
+                g3[:, :, h * g_ch:(h + 1) * g_ch],
+                params["proj_theta"][h].reshape(i, 1),
+                params["proj_phi"][h].reshape(i, 1),
+                params["C_k"][h],
+                interpret=impl.endswith("_interpret")))
+        y = jnp.concatenate(outs, axis=2).reshape(b_, t_, j_, k * g_ch)
+        y = jnp.matmul(y, params["cat_w"], precision=prec("attn_cat"))
+        y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"],
+                              train=train)
+        y = jax.nn.relu(y)
+        return y, {"cat_bn": s_cat}
 
     # Pairwise score decomposed from concat_project: f[q, m] = a[q] + b[m],
     # per head via block-diagonal (K*I, K) projections.

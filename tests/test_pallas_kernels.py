@@ -168,3 +168,30 @@ def test_kdot_high_emulation_accuracy():
     want = np.stack([np.asarray(kdot(jnp.asarray(a3[i]), jnp.asarray(b3[i]),
                                      "high")) for i in range(4)])
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("level,t", [(0, 25), (2, 13)])
+def test_pallas_head_attention_matches_xla(level, t):
+    """attn_impl="pallas_head": projections/output in XLA, each head's
+    score/softmax/apply chain in the single-head kernel
+    (gastx/ops/pallas/head_attn.py) — the kernel small enough for this
+    host's dot-count-limited remote Mosaic compiler, and the first one
+    verified ON the real chip (r2: bitwise-equal to the XLA path)."""
+    cfg = GastNetConfig()
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    c = cfg.block_channels(level)
+    gp = params["gabs"][level]["global"]
+    gs = state["gabs"][level]["global"]
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, t, 17, c)).astype(np.float32))
+    ref, _ = G.multi_global_graph(x, gp, gs, train=False, dropout_rate=0.0)
+    got, _ = G.multi_global_graph(x, gp, gs, train=False, dropout_rate=0.0,
+                                  impl="pallas_head_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-4)
+
+    # train mode falls back to the differentiable XLA path and still runs
+    y, _ = G.multi_global_graph(x, gp, gs, train=True, dropout_rate=0.0,
+                                impl="pallas_head_interpret")
+    assert np.isfinite(np.asarray(y)).all()

@@ -60,11 +60,14 @@ def head_attention(theta_k: jnp.ndarray, phi_k: jnp.ndarray,
                    g_k: jnp.ndarray, proj_t: jnp.ndarray,
                    proj_p: jnp.ndarray, ck: jnp.ndarray, *,
                    interpret: bool = False,
-                   tile_rows: int = 128) -> jnp.ndarray:
+                   tile_rows: int = 32) -> jnp.ndarray:
     """One attention head: (M, J, I) theta/phi + (M, J, G) g -> (M, J, G).
 
     ``proj_t``/``proj_p``: (I, 1) rank-1 score projections; ``ck``: (J, J)
-    learned bias added after the softmax.
+    learned bias added after the softmax. ``tile_rows`` defaults to 32:
+    the (TM, Jq, Jm) softmax temporaries pad Jm to 128 lanes, and at
+    TM=128 their scoped-VMEM stack measures 21.45M > the 16M limit
+    (compile-time OOM on v5e); 32 keeps the stack ~5M.
     """
     m, j, inter = theta_k.shape
     g_ch = g_k.shape[2]

@@ -49,7 +49,13 @@ def prefetch_to_device(iterator: Iterator, transform: Callable,
                 if stop.is_set():
                     return
         except BaseException as exc:  # propagate to consumer
-            _put(exc)
+            if not _put(exc):
+                # Consumer already gone: surface the failure somewhere —
+                # it may be a real data bug that raced with the shutdown.
+                import warnings
+                warnings.warn(
+                    f"prefetch producer failed after consumer shutdown: "
+                    f"{exc!r}")
             return
         _put(_Stop())
 

@@ -236,7 +236,12 @@ def multi_global_graph(
 
     if impl.startswith("pallas_head"):
         from gastx.ops.pallas.head_attn import head_attention
+        from gastx.ops.pallas.precision import resolve_tiers
 
+        # Resolve the model's attn_score/attn_apply tiers into the kernel
+        # (Mosaic needs explicit per-dot precision; hardcoding "default"
+        # would silently break non-mixed configs' precision contract).
+        tiers = dict(resolve_tiers(prec, ("attn_score", "attn_apply")))
         t3 = theta.reshape(m, j_, k * i)
         p3 = phi.reshape(m, j_, k * i)
         g3 = gx.reshape(m, j_, k * g_ch)
@@ -248,6 +253,8 @@ def multi_global_graph(
                 params["proj_theta"][h].reshape(i, 1),
                 params["proj_phi"][h].reshape(i, 1),
                 params["C_k"][h],
+                score_tier=tiers["attn_score"],
+                apply_tier=tiers["attn_apply"],
                 interpret=impl.endswith("_interpret")))
         y = jnp.concatenate(outs, axis=2).reshape(b_, t_, j_, k * g_ch)
         y = jnp.matmul(y, params["cat_w"], precision=prec("attn_cat"))
@@ -326,8 +333,36 @@ def graph_attention_block(
     VMEM kernels (gastx/ops/pallas/fused_gab.py): the whole-block kernel
     up to C=256, the two-kernel split form up to C=512 (the widest level
     of every shipped config); training falls back to the XLA path below.
+
+    ``gab_impl="pallas_local"`` is the hybrid form sized for this host's
+    dot-count-limited remote Mosaic compiler: only the local branch runs
+    as a fused kernel (6 single-pass dots under the mixed preset); the
+    global branch and the 3C->2C block concat stay on the XLA path.
     """
-    if gab_impl != "xla" and not train:
+    if gab_impl.startswith("pallas_local") and not train:
+        from gastx.ops.pallas.fused_gab import (
+            KERNEL_OPS, MAX_SPLIT_CHANNELS, fused_local_branch)
+        from gastx.ops.pallas.precision import resolve_tiers
+
+        if x.shape[-1] <= MAX_SPLIT_CHANNELS:
+            local = fused_local_branch(
+                x, params, state,
+                tuple(int(i) for i in statics.sym_idx),
+                tuple(int(i) for i in statics.con_idx),
+                interpret=gab_impl.endswith("_interpret"),
+                precs=resolve_tiers(prec, KERNEL_OPS))
+            globl, s_glob = multi_global_graph(
+                x, params["global"], state["global"],
+                train=False, dropout_rate=dropout_rate,
+                impl=attn_impl, prec=prec)
+            y = jnp.concatenate([x, local, globl], axis=-1)
+            y = jnp.matmul(y, params["cat_w"], precision=prec("gab_cat"))
+            y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"],
+                                  train=False)
+            y = jax.nn.relu(y)
+            return y, {"local": state["local"], "global": s_glob,
+                       "cat_bn": s_cat}
+    elif gab_impl != "xla" and not train:
         from gastx.ops.pallas.fused_gab import (
             KERNEL_OPS, MAX_FUSED_CHANNELS, MAX_SPLIT_CHANNELS, fused_gab,
             fused_gab_split)

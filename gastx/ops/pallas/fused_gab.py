@@ -419,6 +419,59 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs"))
+def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
+                       sym_idx: tuple, con_idx: tuple, *,
+                       interpret: bool = False, tile_rows: int = 0,
+                       precs: tuple = ()) -> jnp.ndarray:
+    """x: (B, T, J, C) -> (B, T, J, C); eval-mode LOCAL branch only.
+
+    The standalone local-branch kernel of :func:`fused_gab_split` — the
+    sym/con semantic graph convs + BN/ReLU + 2C->C concat matmul + BN/ReLU
+    (reference model/local_attention.py:59-151) fused into one VMEM pass:
+    x is read once, only the (M, J, C) local tensor is written back, and
+    the masked-softmax aggregation is dot-free FMAs. Under the mixed
+    inference preset its matmuls are 6 single-pass dots — inside this
+    host's remote-Mosaic dot-count compile budget (r2 bisection: 3 dots
+    compile, ~15 SIGKILL), unlike the whole-block kernels. Used by the
+    ``gab_impl="pallas_local"`` hybrid wiring (global branch + block
+    concat stay on the XLA path).
+
+    ``params``/``state``: the full GAB subtree (same contract as
+    :func:`fused_gab`; only the "local" entries are consumed).
+    """
+    b_, t_, j_, c_ = x.shape
+    if c_ > MAX_SPLIT_CHANNELS:
+        raise ValueError(
+            f"fused_local_branch supports C <= {MAX_SPLIT_CHANNELS}, "
+            f"got {c_}")
+    lp = params["local"]
+    tiers = tiers_from_pairs(precs, KERNEL_OPS)
+    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
+
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**13)
+    vm = pltpu.VMEM
+
+    local = pl.pallas_call(
+        functools.partial(_kernel_local, j=j_, col_sym=col_s, col_con=col_c,
+                          tiers=tiers, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), jnp.float32),
+        grid=(xf.shape[0] // tm,),
+        in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm)]
+        + [spec for _, spec in local_ins],
+        out_specs=pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(xf, *[arr for arr, _ in local_ins])
+
+    if pad:
+        local = local[:m_total]
+    return local.reshape(b_, t_, j_, c_)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sym_idx", "con_idx", "interpret",
+                                    "tile_rows", "precs"))
 def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
                     sym_idx: tuple, con_idx: tuple, *,
                     interpret: bool = False, tile_rows: int = 0,

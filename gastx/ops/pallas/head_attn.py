@@ -33,15 +33,16 @@ from gastx.ops.pallas.precision import kdot, kdot_general
 
 
 def _kernel(theta_ref, phi_ref, g_ref, proj_t_ref, proj_p_ref, ck_ref,
-            out_ref, *, j: int, interpret: bool):
+            out_ref, *, j: int, score_tier: str, apply_tier: str,
+            interpret: bool):
     tm = theta_ref.shape[0]
     inter = theta_ref.shape[2]
 
     tk = theta_ref[:].reshape(tm * j, inter)
     pk = phi_ref[:].reshape(tm * j, inter)
-    sa = kdot(tk, proj_t_ref[:], "default",
+    sa = kdot(tk, proj_t_ref[:], score_tier,
               interpret=interpret).reshape(tm, j, 1)
-    sb = kdot(pk, proj_p_ref[:], "default",
+    sb = kdot(pk, proj_p_ref[:], score_tier,
               interpret=interpret).reshape(tm, j, 1)
     f = sa + jnp.swapaxes(sb, 1, 2)                  # (TM, Jq, Jm)
     f = jnp.where(f > 0, f, 0.2 * f)                 # LeakyReLU(0.2)
@@ -51,16 +52,18 @@ def _kernel(theta_ref, phi_ref, g_ref, proj_t_ref, proj_p_ref, ck_ref,
     attn = attn + ck_ref[:]                          # (Jq, Jm) bias
 
     out_ref[:] = kdot_general(
-        attn, g_ref[:], (((2,), (1,)), ((0,), (0,))), "default",
+        attn, g_ref[:], (((2,), (1,)), ((0,), (0,))), apply_tier,
         interpret=interpret)                         # (TM, Jq, G)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows",
+                                             "score_tier", "apply_tier"))
 def head_attention(theta_k: jnp.ndarray, phi_k: jnp.ndarray,
                    g_k: jnp.ndarray, proj_t: jnp.ndarray,
                    proj_p: jnp.ndarray, ck: jnp.ndarray, *,
-                   interpret: bool = False,
-                   tile_rows: int = 32) -> jnp.ndarray:
+                   interpret: bool = False, tile_rows: int = 32,
+                   score_tier: str = "default",
+                   apply_tier: str = "default") -> jnp.ndarray:
     """One attention head: (M, J, I) theta/phi + (M, J, G) g -> (M, J, G).
 
     ``proj_t``/``proj_p``: (I, 1) rank-1 score projections; ``ck``: (J, J)
@@ -68,6 +71,11 @@ def head_attention(theta_k: jnp.ndarray, phi_k: jnp.ndarray,
     the (TM, Jq, Jm) softmax temporaries pad Jm to 128 lanes, and at
     TM=128 their scoped-VMEM stack measures 21.45M > the 16M limit
     (compile-time OOM on v5e); 32 keeps the stack ~5M.
+
+    ``score_tier``/``apply_tier``: explicit Mosaic precision tiers for the
+    score and application dots — callers must pass the model's resolved
+    attn_score/attn_apply tiers so non-mixed configs (e.g. all-"high")
+    keep their precision contract inside the kernel.
     """
     m, j, inter = theta_k.shape
     g_ch = g_k.shape[2]
@@ -90,7 +98,8 @@ def head_attention(theta_k: jnp.ndarray, phi_k: jnp.ndarray,
     vm = pltpu.VMEM
     row = lambda i: (i, 0, 0)  # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_kernel, j=j, interpret=interpret),
+        functools.partial(_kernel, j=j, score_tier=score_tier,
+                          apply_tier=apply_tier, interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((theta_k.shape[0], j, g_ch),
                                        jnp.float32),
         grid=grid,

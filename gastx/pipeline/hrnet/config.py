@@ -55,7 +55,11 @@ class CfgNode(dict):
             parts = key.split(".")
             for p in parts[:-1]:
                 node = node[p]
-            node[parts[-1]] = _coerce_value(value, node.get(parts[-1]))
+            if parts[-1] not in node:
+                # yacs raises on non-existent keys; silently creating one
+                # would make a typo'd override a no-op on the real entry.
+                raise KeyError(f"Non-existent config key: {key}")
+            node[parts[-1]] = _coerce_value(value, node[parts[-1]])
 
 
 def _coerce_value(value, old):

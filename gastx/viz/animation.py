@@ -56,7 +56,10 @@ def _make_cv2_writer(fps: int):
         def setup(self, fig, outfile, dpi=None):
             super().setup(fig, outfile, dpi=dpi)
             # canvas.draw() renders at the figure's own dpi, so apply the
-            # requested one (ffmpeg/pillow writers do this via savefig).
+            # requested one (ffmpeg/pillow writers do this via savefig);
+            # restored in finish() so later renders of the same figure
+            # keep the caller's dpi.
+            self._orig_dpi = fig.dpi
             fig.dpi = self.dpi
 
         def grab_frame(self, **savefig_kwargs):
@@ -77,6 +80,8 @@ def _make_cv2_writer(fps: int):
         def finish(self):
             if self._writer is not None:
                 self._writer.release()
+            if getattr(self, "_orig_dpi", None) is not None:
+                self.fig.dpi = self._orig_dpi
 
     return _Cv2MovieWriter(fps=fps)
 

@@ -1,0 +1,91 @@
+"""Parity guardrails for the alternative attention/local-graph layouts.
+
+``GastNetConfig.attn_impl="batched"`` and ``local_impl="gather"`` are
+shipped perf knobs (gastx/ops/graph.py: the batched per-head attention
+kills the 4-D small-lane score tensor; the gather local conv avoids the
+channel-batched adjacency matmul). They must stay numerically equivalent
+to the einsum reference path (itself parity-tested against the torch
+reference, model/global_attention.py:67-78 / model/local_attention.py:35-53)
+— these tests make flipping either knob regression-protected in CI.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gastx.models import GastNetConfig, gastnet_forward, init_gastnet
+
+LAYOUTS = [(17, "h36m17"), (15, "humaneva15")]
+
+
+def _forward(cfg, params, state, x, variant, train, key=None):
+    with jax.default_matmul_precision("highest"):
+        y, new_state = gastnet_forward(params, state, x, cfg,
+                                       variant=variant, train=train,
+                                       rng=key)
+    return np.asarray(y), new_state
+
+
+@pytest.mark.parametrize("num_joints,layout", LAYOUTS)
+@pytest.mark.parametrize("attn_impl,local_impl", [
+    ("batched", "einsum"), ("einsum", "gather"), ("batched", "gather")])
+def test_impl_layouts_match_einsum_eval(num_joints, layout, attn_impl,
+                                        local_impl):
+    """Eval-mode dilated full forward: alternative layouts == einsum."""
+    cfg = GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
+                        channels=32, dropout=0.0, layout=layout)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(
+        (3, 27, num_joints, 2)).astype(np.float32))
+
+    y_ref, _ = _forward(cfg, params, state, x, "dilated", False)
+    cfg_alt = dataclasses.replace(cfg, attn_impl=attn_impl,
+                                  local_impl=local_impl)
+    y_got, _ = _forward(cfg_alt, params, state, x, "dilated", False)
+    np.testing.assert_allclose(y_got, y_ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("attn_impl,local_impl", [("batched", "gather")])
+def test_impl_layouts_match_einsum_train(attn_impl, local_impl):
+    """Train-mode strided forward (dropout active, BN stats updating): the
+    alternative layouts produce the same outputs AND the same updated BN
+    state — the impl knobs only change op layout, never rng consumption."""
+    cfg = GastNetConfig(channels=32, dropout=0.1)
+    params, state = init_gastnet(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((4, 27, 17, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(42)
+
+    y_ref, s_ref = _forward(cfg, params, state, x, "strided", True, key)
+    cfg_alt = dataclasses.replace(cfg, attn_impl=attn_impl,
+                                  local_impl=local_impl)
+    y_got, s_got = _forward(cfg_alt, params, state, x, "strided", True, key)
+
+    np.testing.assert_allclose(y_got, y_ref, atol=2e-5, rtol=1e-4)
+    ref_leaves, ref_tree = jax.tree_util.tree_flatten(s_ref)
+    got_leaves, got_tree = jax.tree_util.tree_flatten(s_got)
+    assert ref_tree == got_tree
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5,
+                                   rtol=1e-4)
+
+
+def test_pallas_local_gab_impl_matches_eval():
+    """gab_impl="pallas_local" (hybrid: fused local-branch kernel + XLA
+    global/concat — the r3 on-chip candidate) == the XLA path, full
+    eval forward, interpret mode."""
+    cfg = GastNetConfig(dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y_ref, s_ref = _forward(cfg, params, state, x, "dilated", False)
+    cfg_p = dataclasses.replace(cfg, gab_impl="pallas_local_interpret")
+    y_got, s_got = _forward(cfg_p, params, state, x, "dilated", False)
+    np.testing.assert_allclose(y_got, y_ref, atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                    jax.tree_util.tree_leaves(s_got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

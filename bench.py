@@ -255,6 +255,52 @@ def measure_train_step(batch: int = 1024, iters: int = 20,
     return batch * iters / dt
 
 
+# v5e per-chip peaks (public TPU v5e specs): the denominators for the
+# roofline terms emitted by --full so perf claims carry their context.
+V5E_HBM_PEAK_GBPS = 819.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def measure_roofline(seqs_per_s: float, batch: int = 1024) -> dict:
+    """XLA cost analysis of the compiled production forward -> roofline
+    terms (VERDICT r2 item 7 / SURVEY §5 north-star): GFLOP and HBM bytes
+    per sequence, and — scaled by the measured throughput — sustained
+    TFLOP/s and %HBM-peak. The workload's binding term round-over-round."""
+    import jax
+    import jax.numpy as jnp
+
+    from gastx.models import config_for_frames, gastnet_forward, init_gastnet
+
+    cfg = config_for_frames(27, dropout=0.05)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    if jax.devices()[0].platform == "cpu":
+        batch = 32
+
+    def fwd(params, state, x):
+        y, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                               train=False)
+        return y
+
+    x = jnp.zeros((batch, 27, 17, 2), jnp.float32)
+    ca = jax.jit(fwd).lower(params, state, x).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops_per_seq = float(ca.get("flops", float("nan"))) / batch
+    bytes_per_seq = float(ca.get("bytes accessed", float("nan"))) / batch
+    tflops = seqs_per_s * flops_per_seq / 1e12
+    gbps = seqs_per_s * bytes_per_seq / 1e9
+    return {
+        "gflop_per_seq": round(flops_per_seq / 1e9, 3),
+        "mb_per_seq": round(bytes_per_seq / 1e6, 3),
+        "sustained_tflops": round(tflops, 2),
+        "sustained_gbps": round(gbps, 1),
+        "pct_hbm_peak": round(100.0 * gbps / V5E_HBM_PEAK_GBPS, 1),
+        "pct_mxu_bf16_peak": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1),
+        "arithmetic_intensity_flop_per_byte": round(
+            flops_per_seq / bytes_per_seq, 1),
+    }
+
+
 def measure_streaming_steps(iters: int = 200) -> float:
     """Sequential single-frame causal streaming steps per second (M=1).
 
@@ -317,6 +363,10 @@ def main():
     baseline = get_baseline()
     emit("27f_17j_lifting_throughput", value, baseline)
     if full:
+        roof = measure_roofline(value)
+        print(json.dumps({
+            "metric": "27f_roofline", "value": roof["sustained_tflops"],
+            "unit": "TFLOP/s", "vs_baseline": None, **roof}), flush=True)
         train_base = get_train_baseline()
         emit("27f_17j_train_step_throughput", measure_train_step(),
              train_base)

@@ -16,8 +16,11 @@ from gastx.pipeline.hrnet.model import (
     import_hrnet_params,
 )
 from gastx.pipeline.hrnet.transforms import (
+    COCO_FLIP_PAIRS,
     box_to_center_scale,
     crop,
+    flip_back,
+    flip_tta_merge,
     get_affine_transform,
     preprocess_boxes,
     transform_preds,
@@ -36,8 +39,11 @@ __all__ = [
     "fold_conv_bn",
     "hrnet_forward",
     "import_hrnet_params",
+    "COCO_FLIP_PAIRS",
     "box_to_center_scale",
     "crop",
+    "flip_back",
+    "flip_tta_merge",
     "get_affine_transform",
     "preprocess_boxes",
     "transform_preds",

@@ -21,6 +21,46 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 PIXEL_STD = 200.0
 
 
+# COCO 17-keypoint left/right pairs (eyes, ears, shoulders, elbows,
+# wrists, hips, knees, ankles) — the matched_parts argument of flip_back
+# for the shipped COCO-trained HRNet backbones.
+COCO_FLIP_PAIRS: Tuple[Tuple[int, int], ...] = (
+    (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16))
+
+
+def flip_back(output_flipped: np.ndarray, matched_parts) -> np.ndarray:
+    """Un-flip heatmaps predicted from a horizontally flipped input.
+
+    ``output_flipped``: (N, J, H, W) heatmaps from the flipped image;
+    returns them reversed along W with left/right joint channels swapped.
+    Parity target: reference ``lib/pose/hrnet/lib/utils/transforms.py:15-30``
+    (its per-pair copy loop becomes one joint-permutation gather).
+    """
+    assert output_flipped.ndim == 4, \
+        "output_flipped should be [batch_size, num_joints, height, width]"
+    perm = np.arange(output_flipped.shape[1])
+    for a, b in matched_parts:
+        perm[a], perm[b] = perm[b], perm[a]
+    return output_flipped[:, perm, :, ::-1]
+
+
+def flip_tta_merge(heatmaps: np.ndarray, heatmaps_flipped: np.ndarray,
+                   matched_parts, shift_heatmap: bool = False) -> np.ndarray:
+    """Average ordinary and flipped-input heatmaps (TEST.FLIP_TEST).
+
+    The standard HRNet heatmap flip-TTA (config keys TEST.FLIP_TEST /
+    TEST.SHIFT_HEATMAP, reference ``lib/pose/hrnet/lib/config/
+    default.py:101-103``): un-flip the flipped prediction, optionally
+    shift it right one heatmap column (compensates the half-pixel
+    misalignment of flipping an even-width feature map), and average.
+    """
+    out_f = flip_back(np.asarray(heatmaps_flipped), matched_parts)
+    if shift_heatmap:
+        out_f = out_f.copy()
+        out_f[:, :, :, 1:] = out_f[:, :, :, :-1]
+    return (np.asarray(heatmaps) + out_f) * 0.5
+
+
 def get_3rd_point(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     direct = a - b
     return b + np.array([-direct[1], direct[0]], dtype=np.float32)

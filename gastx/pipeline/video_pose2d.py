@@ -25,7 +25,8 @@ class Pose2DEstimator:
     def __init__(self, yolo_weights: str, hrnet_weights: str,
                  yolo_cfg: Optional[str] = None, det_dim: int = 416,
                  hrnet_width: int = 48, image_size=(288, 384),
-                 confidence: float = 0.70, hrnet_spec=None):
+                 confidence: float = 0.70, hrnet_spec=None,
+                 flip_test: bool = False, shift_heatmap: bool = False):
         import jax
 
         from gastx.pipeline.hrnet import hrnet_extra, import_hrnet_params
@@ -54,6 +55,13 @@ class Pose2DEstimator:
         self._hrnet = jax.jit(
             lambda p, x: hrnet_forward(p, x, extra))
         self.tracker = Sort()
+        # TEST.FLIP_TEST / TEST.SHIFT_HEATMAP heatmap flip-TTA (reference
+        # lib/pose/hrnet/lib/config/default.py:101-103 + utils/
+        # transforms.py:15-30): average the ordinary heatmaps with the
+        # un-flipped heatmaps of the mirrored crop. Off by default, like
+        # the reference's in-the-wild driver.
+        self.flip_test = flip_test
+        self.shift_heatmap = shift_heatmap
 
     def estimate_frame(self, frame: np.ndarray, num_person: int = 1,
                        track: bool = True):
@@ -83,6 +91,15 @@ class Pose2DEstimator:
 
         heatmaps = np.asarray(self._hrnet(self.hrnet_params, inputs))
         heatmaps = np.transpose(heatmaps, (0, 3, 1, 2))  # NHWC -> NCHW
+        if self.flip_test:
+            from gastx.pipeline.hrnet import COCO_FLIP_PAIRS, flip_tta_merge
+
+            # Same jitted forward, width-mirrored crop (NHWC axis 2).
+            flipped = np.asarray(self._hrnet(
+                self.hrnet_params, inputs[:, :, ::-1, :].copy()))
+            heatmaps = flip_tta_merge(
+                heatmaps, np.transpose(flipped, (0, 3, 1, 2)),
+                COCO_FLIP_PAIRS, shift_heatmap=self.shift_heatmap)
         preds, maxvals = get_final_preds(heatmaps, np.asarray(centers),
                                          np.asarray(scales))
         return preds, maxvals

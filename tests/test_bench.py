@@ -20,6 +20,16 @@ def test_all_metric_functions_run_on_cpu():
     assert bench.measure_streaming_steps() > 0
 
 
+def test_roofline_terms():
+    roof = bench.measure_roofline(1000.0)
+    assert roof["gflop_per_seq"] > 0
+    assert roof["mb_per_seq"] > 0
+    # sustained terms scale linearly with the measured throughput
+    roof2 = bench.measure_roofline(2000.0)
+    assert abs(roof2["sustained_tflops"] - 2 * roof["sustained_tflops"]) \
+        <= 0.02 * roof2["sustained_tflops"] + 0.02
+
+
 def test_bench_cli_prints_one_json_line(tmp_path):
     """The driver contract: default mode prints ONE parseable JSON line."""
     out = subprocess.run(

@@ -187,3 +187,44 @@ def test_config_yaml_merge(tmp_path):
     assert cfg.MODEL.IMAGE_SIZE == [256, 192]
     assert cfg.TEST.POST_PROCESS is False
     assert cfg.MODEL.EXTRA.STAGE4.NUM_BRANCHES == 4  # defaults intact
+
+
+@requires_reference
+def test_flip_back_matches_reference():
+    """Heatmap flip-TTA un-flip (TEST.FLIP_TEST path) vs the reference
+    lib/pose/hrnet/lib/utils/transforms.py:15-30."""
+    if HRNET_LIB not in sys.path:
+        sys.path.insert(0, HRNET_LIB)
+    from utils.transforms import flip_back as ref_flip_back
+
+    from gastx.pipeline.hrnet import COCO_FLIP_PAIRS, flip_back
+
+    rng = np.random.default_rng(11)
+    hm = rng.random((3, 17, 8, 6)).astype(np.float32)
+    pairs = [list(p) for p in COCO_FLIP_PAIRS]
+    ref = ref_flip_back(hm.copy(), pairs)
+    got = flip_back(hm, COCO_FLIP_PAIRS)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_flip_tta_merge_semantics():
+    """flip_tta_merge implements the standard HRNet FLIP_TEST average:
+    identical predictions from both passes survive unchanged, and
+    SHIFT_HEATMAP moves the un-flipped map right one column (col 0 kept)."""
+    from gastx.pipeline.hrnet import COCO_FLIP_PAIRS, flip_back, flip_tta_merge
+
+    rng = np.random.default_rng(12)
+    hm = rng.random((2, 17, 8, 6)).astype(np.float32)
+    # A flipped-input prediction that is exactly the mirrored ordinary one:
+    # flip_back undoes it, so the TTA average equals the ordinary heatmaps.
+    hm_flipped = flip_back(hm, COCO_FLIP_PAIRS)  # involution
+    merged = flip_tta_merge(hm, hm_flipped, COCO_FLIP_PAIRS)
+    np.testing.assert_allclose(merged, hm, atol=1e-7)
+
+    shifted = flip_tta_merge(hm, hm_flipped, COCO_FLIP_PAIRS,
+                             shift_heatmap=True)
+    back = flip_back(hm_flipped, COCO_FLIP_PAIRS)
+    expect = hm.copy()
+    expect[:, :, :, 1:] = (hm[:, :, :, 1:] + back[:, :, :, :-1]) * 0.5
+    expect[:, :, :, 0] = (hm[:, :, :, 0] + back[:, :, :, 0]) * 0.5
+    np.testing.assert_allclose(shifted, expect, atol=1e-7)

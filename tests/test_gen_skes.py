@@ -74,3 +74,68 @@ def test_gen_skes_animation_output(tiny_video, tmp_path, monkeypatch):
     assert any(f.startswith("clip_3d") for f in outputs), outputs
     produced = os.path.join(out_dir, sorted(outputs)[0])
     assert os.path.getsize(produced) > 1000
+
+
+def test_gen_skes_two_person_animation_e2e(tiny_video, tmp_path, monkeypatch):
+    """The reference's headline two-person demo (gen_skes.py:133-147):
+    -np 2 --animation with stubbed 2-person detections. Asserts the
+    inter-person placement equals the library pipeline (h36m_coco_format
+    -> revise_kpts -> lift -> revise_skes, each reference-parity-tested)
+    and the same-axes multi-person animation really renders."""
+    import os
+
+    import jax
+
+    path, w, h, t = tiny_video
+    rng = np.random.default_rng(3)
+    # Two spatially separated people so the revise_skes inter-person
+    # offset (tools/preprocess.py:138-147) is non-trivial.
+    base = (rng.random((2, t, 17, 2)) * [w / 3, h / 2]).astype(np.float32)
+    base[0] += [w * 0.1, h * 0.3]
+    base[1] += [w * 0.55, h * 0.35]
+    det_scores = rng.random((2, t, 17)).astype(np.float32) * 0.5 + 0.5
+
+    def fake_gen_video_kpts(video, yolo_weights, hrnet_weights,
+                            num_person=1, yolo_cfg=None, **kw):
+        assert num_person == 2
+        return base.copy(), det_scores.copy()
+
+    import gastx.pipeline.video_pose2d as vp
+    monkeypatch.setattr(vp, "gen_video_kpts", fake_gen_video_kpts)
+
+    from gastx.cli.gen_skes import generate_skeletons, parse_args
+    out_dir = str(tmp_path / "out2p")
+    full_pred = generate_skeletons(parse_args(
+        ["-v", path, "-np", "2", "--random-lifter-weights", "--animation",
+         "-o", out_dir, "-f", "27"]))
+
+    assert full_pred.shape == (2, t, 17, 3)
+    assert np.isfinite(full_pred).all()
+    anim = os.path.join(out_dir, "clip_3d.mp4")
+    produced = [f for f in os.listdir(out_dir) if f.startswith("clip_3d")]
+    assert produced, os.listdir(out_dir)
+    assert os.path.getsize(os.path.join(out_dir, produced[0])) > 1000
+
+    # Expected placement via the library pipeline with the same weights.
+    from gastx.geometry import normalize_screen_coordinates
+    from gastx.infer import lift_to_world
+    from gastx.models import config_for_frames, init_gastnet
+    from gastx.pipeline import h36m_coco_format, revise_kpts, revise_skes
+
+    h36m_kpts, h36m_scores, valid_frames = h36m_coco_format(
+        base.copy(), det_scores.copy())
+    re_kpts = revise_kpts(h36m_kpts, h36m_scores, valid_frames)
+    cfg = config_for_frames(27, 17, dropout=0.05)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    seqs = [np.asarray(normalize_screen_coordinates(
+        re_kpts[i, frames], w=w, h=h), dtype=np.float32)
+        for i, frames in enumerate(valid_frames)]
+    preds = lift_to_world(params, state, seqs, cfg, tta=True)
+    want = revise_skes(preds, re_kpts, valid_frames)
+    np.testing.assert_allclose(full_pred, want, atol=1e-5)
+
+    # The two-person placement is genuinely offset: the pseudo-trajectories
+    # (2D-derived) keep the two reconstructions apart in x.
+    p0 = full_pred[0][..., 0].mean()
+    p1 = full_pred[1][..., 0].mean()
+    assert abs(p0 - p1) > 0.05

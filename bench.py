@@ -255,6 +255,82 @@ def measure_train_step(batch: int = 1024, iters: int = 20,
     return batch * iters / dt
 
 
+def measure_realtime_e2e(n_frames: int = 50):
+    """End-to-end real-time pipeline FPS INCLUDING the host loop: video
+    decode -> YOLO detect -> SORT -> crop -> HRNet -> causal stream-lift,
+    driven through the real gastx.cli.realtime.run() on a synthetic clip
+    with reduced random-weight backbones (the shapes used by the unstubbed
+    e2e pipeline tests). Steady-state: a first pass absorbs jit compiles.
+
+    Caveat recorded with the metric: under the axon tunnel each device
+    dispatch costs ~30 ms RTT and the loop makes ~3 dispatches/frame, so
+    this host's number is a tunnel-latency floor, not a chip-speed limit
+    (DESIGN.md). Returns None when /root/reference (the tiny-HRNet weight
+    source) is unavailable.
+    """
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from reference_torch import REFERENCE_PATH, reference_available
+
+    if not reference_available():
+        return None
+    import tempfile
+
+    import cv2
+    import torch
+
+    from test_hrnet import TINY_EXTRA
+    from test_yolo import TINY_CFG, _write_random_weights
+
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        n_frames = 8
+
+    tmp = tempfile.mkdtemp(prefix="gastx_rt_")
+    clip = os.path.join(tmp, "clip.mp4")
+    w, h = 128, 96
+    writer = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                             (w, h))
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        frame = rng.integers(0, 80, (h, w, 3), dtype=np.uint8)
+        x0 = 10 + (2 * i) % 80
+        frame[20:70, x0:x0 + 30] = 220  # bright moving blob to detect
+        writer.write(frame)
+    writer.release()
+
+    cfg_path = os.path.join(tmp, "tiny.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG)
+    from gastx.pipeline.yolo.cfg import parse_darknet_cfg
+    weights_path = os.path.join(tmp, "tiny.weights")
+    _write_random_weights(weights_path, parse_darknet_cfg(cfg_path),
+                          seed=7, obj_bias=3.0)
+
+    models_dir = REFERENCE_PATH + "/lib/pose/hrnet/lib/models"
+    if models_dir not in sys.path:
+        sys.path.insert(0, models_dir)
+    import pose_hrnet as ref_mod
+
+    torch.manual_seed(11)
+    hrnet = ref_mod.PoseHighResolutionNet(
+        {"MODEL": {"EXTRA": TINY_EXTRA, "NUM_JOINTS": 17}})
+    hrnet_path = os.path.join(tmp, "tiny_hrnet.pth")
+    torch.save(hrnet.state_dict(), hrnet_path)
+
+    from gastx.cli.realtime import parse_args, run
+    from gastx.pipeline.video_pose2d import Pose2DEstimator
+
+    est = Pose2DEstimator(weights_path, hrnet_path, yolo_cfg=cfg_path,
+                          det_dim=96, image_size=(64, 96), confidence=0.5,
+                          hrnet_spec=TINY_EXTRA)
+    args = parse_args(["-v", clip, "--random-lifter-weights",
+                       "--max-frames", str(n_frames)])
+    run(args, estimator=est)  # warmup: jit compiles + tracker init
+    t0 = time.perf_counter()
+    run(args, estimator=est)
+    return n_frames / (time.perf_counter() - t0)
+
+
 # v5e per-chip peaks (public TPU v5e specs): the denominators for the
 # roofline terms emitted by --full so perf claims carry their context.
 V5E_HBM_PEAK_GBPS = 819.0
@@ -375,6 +451,14 @@ def main():
         emit("81f_17j_lifting_throughput", measure_gastx_frames(81))
         emit("243f_17j_lifting_throughput", measure_gastx_frames(243))
         emit("causal_27f_streaming_steps_per_s", measure_streaming_steps())
+        rt = measure_realtime_e2e()
+        if rt is not None:
+            print(json.dumps({
+                "metric": "realtime_e2e_fps", "value": round(rt, 1),
+                "unit": "frames/s", "vs_baseline": None,
+                "note": "full host loop (decode/detect/track/crop/HRNet/"
+                        "stream-lift), tiny backbones; axon-tunnel RTT "
+                        "floor ~3x30ms/frame on this host"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def run(args) -> np.ndarray:
+def run(args, estimator=None) -> np.ndarray:
     import cv2
     import jax
 
@@ -71,8 +71,11 @@ def run(args) -> np.ndarray:
             ts = load_checkpoint(args.weight)["train_state"]
             params, state = ts.params, ts.bn_state
 
-    estimator = Pose2DEstimator(args.yolo_weights, args.hrnet_weights,
-                                args.yolo_cfg)
+    if estimator is None:
+        # Injection point for tests/benches with reduced backbones; the
+        # per-frame host loop below stays identical either way.
+        estimator = Pose2DEstimator(args.yolo_weights, args.hrnet_weights,
+                                    args.yolo_cfg)
     lifter = StreamingLifter(params, state, cfg,
                              num_person=args.num_person)
 

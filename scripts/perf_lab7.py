@@ -123,6 +123,42 @@ def run_local(c: int):
           flush=True)
 
 
+def run_gab(c: int, split: bool):
+    """Compile + verify + the real WHOLE-BLOCK kernel (or split pair) at
+    width C against the XLA graph_attention_block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gastx.ops import graph as G
+    from gastx.ops.pallas.fused_gab import (KERNEL_OPS, fused_gab,
+                                            fused_gab_split)
+    from gastx.ops.pallas.precision import resolve_tiers
+
+    gp, gs, statics, cfg = _gab_level(c)
+    sym = tuple(int(i) for i in statics.sym_idx)
+    con = tuple(int(i) for i in statics.con_idx)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        precs = resolve_tiers(cfg.precision_for, KERNEL_OPS)
+    fn = fused_gab_split if split else fused_gab
+    name = "GAB-SPLIT" if split else "GAB"
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 25, 17, c)).astype(np.float32))
+    t0 = time.perf_counter()
+    got = jax.device_get(fn(x, gp, gs, sym, con, precs=precs))
+    dt = time.perf_counter() - t0
+    print(f"{name} C={c}: COMPILED+RAN in {dt:.1f}s", flush=True)
+
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        ref, _ = jax.jit(functools.partial(
+            G.graph_attention_block, statics=statics, train=False,
+            dropout_rate=0.0, prec=cfg.precision_for))(x, gp, gs)
+    ref = jax.device_get(ref)
+    d = float(np.max(np.abs(got - ref)))
+    print(f"{name} C={c}: max |delta| vs XLA block = {d:.3e}", flush=True)
+
+
 def e2e(impl: str):
     """Full 27f eval-forward throughput with the given gab_impl."""
     import dataclasses
@@ -181,9 +217,26 @@ def main():
         probe(int(sys.argv[sys.argv.index("--probe") + 1]))
     elif "--local" in sys.argv:
         run_local(int(sys.argv[sys.argv.index("--local") + 1]))
+    elif "--gab" in sys.argv:
+        run_gab(int(sys.argv[sys.argv.index("--gab") + 1]), split=False)
+    elif "--gab-split" in sys.argv:
+        run_gab(int(sys.argv[sys.argv.index("--gab-split") + 1]), split=True)
+    elif "--e2e-pallas" in sys.argv:
+        e2e("pallas")
     elif "--e2e" in sys.argv:
         e2e("pallas_local")
         e2e("xla")
+    elif "--gab-driver" in sys.argv:
+        # The whole-block campaign (run when the Mosaic service is healthy):
+        # compile each level's fused kernel, then the full forward.
+        ok = _sub(["--gab", "128"], 2400)
+        if ok:
+            ok = _sub(["--gab", "256"], 2400)
+        if ok:
+            ok = _sub(["--gab-split", "512"], 2400)
+        if ok:
+            _sub(["--e2e-pallas"], 3600)
+        print("\nperf_lab7 --gab-driver done", flush=True)
     else:
         ok128 = _sub(["--local", "128"], 1500)
         ok512 = ok128 and _sub(["--local", "512"], 1500)

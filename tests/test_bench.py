@@ -20,6 +20,13 @@ def test_all_metric_functions_run_on_cpu():
     assert bench.measure_streaming_steps() > 0
 
 
+def test_realtime_e2e_metric_runs_on_cpu():
+    fps = bench.measure_realtime_e2e()
+    if fps is None:  # reference checkout unavailable
+        return
+    assert fps > 0
+
+
 def test_roofline_terms():
     roof = bench.measure_roofline(1000.0)
     assert roof["gflop_per_seq"] > 0

@@ -209,3 +209,39 @@ def test_frame_loop_matches_reference_glue(tiny_models, tiny_video):
 
     cap.release()
     assert frames_checked >= 3, "too few frames exercised the full loop"
+
+
+@requires_reference
+def test_estimator_flip_tta_path(tiny_models, tiny_video):
+    """Pose2DEstimator(flip_test=True): the TEST.FLIP_TEST heatmap TTA
+    runs through the real 2D pipeline (same jitted HRNet forward on the
+    mirrored crop, flip_back + average before decode) and yields valid,
+    near-identical-contract keypoints."""
+    import cv2
+
+    from gastx.pipeline.video_pose2d import Pose2DEstimator
+
+    cfg_path, weights_path, hrnet_path, _ = tiny_models
+    est = Pose2DEstimator(
+        weights_path, hrnet_path, yolo_cfg=cfg_path, det_dim=96,
+        image_size=(64, 96), confidence=0.5, hrnet_spec=TINY_EXTRA,
+        flip_test=True, shift_heatmap=True)
+
+    path, w, h, t = tiny_video
+    cap = cv2.VideoCapture(path)
+    ret, frame = cap.read()
+    cap.release()
+    assert ret
+    result = est.estimate_frame(frame, num_person=1)
+    assert result is not None
+    preds, maxvals = result
+    assert preds.shape[1:] == (17, 2) and maxvals.shape[1:] == (17, 1)
+    assert np.isfinite(preds).all()
+
+    # The TTA average genuinely engages: with random weights the merged
+    # heatmaps decode differently from the plain forward.
+    est_plain = Pose2DEstimator(
+        weights_path, hrnet_path, yolo_cfg=cfg_path, det_dim=96,
+        image_size=(64, 96), confidence=0.5, hrnet_spec=TINY_EXTRA)
+    plain, _ = est_plain.estimate_frame(frame, num_person=1)
+    assert not np.allclose(preds, plain)

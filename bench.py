@@ -255,19 +255,11 @@ def measure_train_step(batch: int = 1024, iters: int = 20,
     return batch * iters / dt
 
 
-def measure_realtime_e2e(n_frames: int = 50):
-    """End-to-end real-time pipeline FPS INCLUDING the host loop: video
-    decode -> YOLO detect -> SORT -> crop -> HRNet -> causal stream-lift,
-    driven through the real gastx.cli.realtime.run() on a synthetic clip
-    with reduced random-weight backbones (the shapes used by the unstubbed
-    e2e pipeline tests). Steady-state: a first pass absorbs jit compiles.
-
-    Caveat recorded with the metric: under the axon tunnel each device
-    dispatch costs ~30 ms RTT and the loop makes ~3 dispatches/frame, so
-    this host's number is a tunnel-latency floor, not a chip-speed limit
-    (DESIGN.md). Returns None when /root/reference (the tiny-HRNet weight
-    source) is unavailable.
-    """
+def build_tiny_realtime(n_frames: int):
+    """(clip_path, estimator, frame_size) with reduced random-weight
+    backbones — the shapes used by the unstubbed e2e pipeline tests.
+    Returns None when /root/reference (the tiny-HRNet source) is absent.
+    Shared by measure_realtime_e2e and scripts/perf_lab9.py."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from reference_torch import REFERENCE_PATH, reference_available
 
@@ -280,10 +272,6 @@ def measure_realtime_e2e(n_frames: int = 50):
 
     from test_hrnet import TINY_EXTRA
     from test_yolo import TINY_CFG, _write_random_weights
-
-    import jax
-    if jax.devices()[0].platform == "cpu":
-        n_frames = 8
 
     tmp = tempfile.mkdtemp(prefix="gastx_rt_")
     clip = os.path.join(tmp, "clip.mp4")
@@ -317,12 +305,38 @@ def measure_realtime_e2e(n_frames: int = 50):
     hrnet_path = os.path.join(tmp, "tiny_hrnet.pth")
     torch.save(hrnet.state_dict(), hrnet_path)
 
-    from gastx.cli.realtime import parse_args, run
     from gastx.pipeline.video_pose2d import Pose2DEstimator
 
     est = Pose2DEstimator(weights_path, hrnet_path, yolo_cfg=cfg_path,
                           det_dim=96, image_size=(64, 96), confidence=0.5,
                           hrnet_spec=TINY_EXTRA)
+    return clip, est, (w, h)
+
+
+def measure_realtime_e2e(n_frames: int = 50):
+    """End-to-end real-time pipeline FPS INCLUDING the host loop: video
+    decode -> YOLO detect -> SORT -> crop -> HRNet -> causal stream-lift,
+    driven through the real gastx.cli.realtime.run() on a synthetic clip
+    with reduced random-weight backbones. Steady-state: a first pass
+    absorbs jit compiles.
+
+    Caveat recorded with the metric: under the axon tunnel each device
+    dispatch costs ~30 ms RTT and the loop makes ~3 dispatches/frame, so
+    this host's number is a tunnel-latency floor, not a chip-speed limit
+    (DESIGN.md / scripts/perf_lab9.py stage attribution). Returns None
+    when /root/reference (the tiny-HRNet weight source) is unavailable.
+    """
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        n_frames = 8
+
+    built = build_tiny_realtime(n_frames)
+    if built is None:
+        return None
+    clip, est, _ = built
+
+    from gastx.cli.realtime import parse_args, run
+
     args = parse_args(["-v", clip, "--random-lifter-weights",
                        "--max-frames", str(n_frames)])
     run(args, estimator=est)  # warmup: jit compiles + tracker init

@@ -394,7 +394,11 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     ins = local_ins + _global_ins(gp, state, j_, c_, k, inter, g_ch) \
         + _concat_ins(params, state, c_)
 
-    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**14)
+    # Tile budget 2**12 (32 rows at C=128, 16 at C=256): the kernel's
+    # scoped-VMEM stack (padded softmax + branch temporaries) measures
+    # 31.28M at 128 rows/C=128 vs the 16M limit — same failure mode as
+    # head_attn's TM=128 OOM; ~2**12/C rows keeps the stack under ~8M.
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**12)
     vm = pltpu.VMEM
 
     out = pl.pallas_call(
@@ -497,10 +501,10 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     glob_ins = _global_ins(gp, state, j_, c_, k, inter, g_ch) \
         + _concat_ins(params, state, c_)
 
-    # Smaller row tiles than the whole-block kernel: the global+concat
-    # kernel holds ~10.4 MB of weights at C=512, leaving ~5 MB for
-    # double-buffered x/local/out tiles.
-    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**13)
+    # Small row tiles (8 at C=512): the global+concat kernel holds
+    # ~10.4 MB of weights at C=512 AND its scoped-VMEM temporary stack
+    # scales with rows x C (see fused_gab's 2**12 budget note).
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**12)
     vm = pltpu.VMEM
 
     local = pl.pallas_call(

@@ -197,6 +197,47 @@ def e2e(impl: str):
     print(f"E2E {impl}: {batch * iters / dt:.0f} seq/s", flush=True)
 
 
+def err_pallas(impl: str = "pallas"):
+    """End-to-end mm error of gab_impl=pallas vs the all-"highest" XLA
+    forward over seeds (the perf_lab2/3/6 metric; budget 0.1 mm)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gastx.models import config_for_frames, gastnet_forward, init_gastnet
+
+    mixed = dataclasses.replace(config_for_frames(27, dropout=0.0),
+                                gab_impl=impl)
+    exact = dataclasses.replace(mixed, matmul_precision="highest",
+                                precision_overrides=(), gab_impl="xla")
+
+    @jax.jit
+    def fwd_p(p, s, xx):
+        return gastnet_forward(p, s, xx, mixed, variant="dilated",
+                               train=False)[0]
+
+    @jax.jit
+    def fwd_e(p, s, xx):
+        return gastnet_forward(p, s, xx, exact, variant="dilated",
+                               train=False)[0]
+
+    worst = 0.0
+    for seed in range(4):
+        params, state = init_gastnet(jax.random.PRNGKey(seed), mixed)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((64, 27, 17, 2)).astype(
+            np.float32))
+        d = float(jnp.max(jnp.abs(jax.device_get(fwd_p(params, state, x))
+                                  - jax.device_get(fwd_e(params, state, x)))))
+        worst = max(worst, d * 1000.0)
+        print(f"  err[{impl}] seed={seed}: {d*1000.0:.4f} mm", flush=True)
+    print(f"ERR {impl}: worst {worst:.4f} mm "
+          f"({'WITHIN' if worst <= 0.1 else 'OVER'} 0.1mm budget)",
+          flush=True)
+
+
 def _sub(args, timeout):
     cmd = [sys.executable, __file__] + args
     print(f"\n=== {' '.join(args)} (timeout {timeout}s) ===", flush=True)
@@ -223,6 +264,8 @@ def main():
         run_gab(int(sys.argv[sys.argv.index("--gab-split") + 1]), split=True)
     elif "--e2e-pallas" in sys.argv:
         e2e("pallas")
+    elif "--err-pallas" in sys.argv:
+        err_pallas("pallas")
     elif "--e2e" in sys.argv:
         e2e("pallas_local")
         e2e("xla")

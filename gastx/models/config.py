@@ -49,13 +49,15 @@ class GastNetConfig:
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
     # Graph-attention-block implementation for the EVAL-mode forward:
-    # "xla" (default) or "pallas" — the fused VMEM-resident kernels
-    # (gastx/ops/pallas/fused_gab.py; interpret-verified vs the XLA path):
-    # whole-block kernel for C <= 256, the two-kernel split form for
-    # C <= 512 (the widest level of every shipped config); training steps
-    # always take the XLA path. NOTE: this host's remote Mosaic service
-    # cannot compile kernels containing dots — verified in interpret mode +
-    # wired for healthy-Mosaic TPU hosts.
+    # "xla" (default for bare configs), "pallas" — the fused VMEM-resident
+    # kernels (gastx/ops/pallas/fused_gab.py): whole-block kernel for
+    # C <= 256, the two-kernel split form for C <= 512 (the widest level
+    # of every shipped config) — or "auto" (= "pallas" on TPU backends,
+    # "xla" elsewhere; the config_for_frames inference default). Measured
+    # on-chip r3: +8% end-to-end (14,441 vs 13,377 seq/s at B=1024/27f)
+    # at 0.081mm worst-seed error vs all-"highest" (the kernels' exact-f32
+    # local aggregation beats the XLA mixed path's 0.093mm). Training
+    # steps always take the XLA path.
     gab_impl: str = "xla"
 
     def precision_for(self, op_class: str):
@@ -188,16 +190,19 @@ def config_for_frames(
     dropout: float = 0.05,
     precision_overrides: Tuple[Tuple[str, str], ...] =
         TPU_MIXED_PRECISION_OVERRIDES,
+    gab_impl: str = "auto",
 ) -> GastNetConfig:
     """The shipped receptive-field -> architecture table
     (reconstruction.py:220-228, gen_skes.py:43-97).
 
     This is the *inference* entry point (reconstruct/realtime/gen_skes
     CLIs), so it defaults to the measured mixed-precision preset
-    (+26% throughput at max 0.093 mm over 8 seeds — see
-    TPU_MIXED_PRECISION_OVERRIDES). Pass ``precision_overrides=()`` for the
-    all-"high" bit-study mode; training builds GastNetConfig directly and
-    stays all-"high".
+    (max 0.093 mm over 8 seeds — see TPU_MIXED_PRECISION_OVERRIDES) and,
+    on TPU backends, the fused graph-attention-block kernels
+    (``gab_impl="auto"``: measured +8% at 0.081 mm worst seed, r3). Pass
+    ``precision_overrides=()`` + ``gab_impl="xla"`` for the all-"high"
+    bit-study mode; training builds GastNetConfig directly and stays
+    all-"high"/XLA.
     """
     if frames == 27:
         fw, ch = (3, 3, 3), 128
@@ -211,4 +216,5 @@ def config_for_frames(
     return GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
                          filter_widths=fw, channels=ch, causal=causal,
                          dropout=dropout, layout=layout,
-                         precision_overrides=tuple(precision_overrides))
+                         precision_overrides=tuple(precision_overrides),
+                         gab_impl=gab_impl)

@@ -353,7 +353,11 @@ def _concat_ins(params, state, c_):
 def _tile_rows(x, tile_rows, budget):
     b_, t_, j_, c_ = x.shape
     m_total = b_ * t_
-    tm = tile_rows or max(8, min(128, budget // c_))
+    # Budget against the PADDED channel width: lanes pad C to >=128, so
+    # the kernel's scoped-VMEM temporaries stop shrinking below C=128 —
+    # a C=32 level at 128 rows would hit the same 31M stack the C=128
+    # level did (16M limit).
+    tm = tile_rows or max(8, min(128, budget // max(c_, 128)))
     pad = (-m_total) % tm
     xf = x.reshape(m_total, j_, c_)
     if pad:

@@ -224,7 +224,7 @@ def err_pallas(impl: str = "pallas"):
                                train=False)[0]
 
     worst = 0.0
-    for seed in range(4):
+    for seed in range(8):
         params, state = init_gastnet(jax.random.PRNGKey(seed), mixed)
         rng = np.random.default_rng(seed)
         x = jnp.asarray(rng.standard_normal((64, 27, 17, 2)).astype(

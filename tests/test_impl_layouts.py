@@ -89,3 +89,21 @@ def test_pallas_local_gab_impl_matches_eval():
     for a, b in zip(jax.tree_util.tree_leaves(s_ref),
                     jax.tree_util.tree_leaves(s_got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gab_impl_auto_resolves_to_xla_on_cpu():
+    """config_for_frames defaults gab_impl="auto" (r3): on non-TPU
+    backends it must resolve to the XLA path and match it exactly."""
+    from gastx.models import config_for_frames
+
+    cfg = config_for_frames(27, dropout=0.0)
+    assert cfg.gab_impl == "auto"
+    params, state = init_gastnet(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+    y_auto, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                                train=False)
+    cfg_x = dataclasses.replace(cfg, gab_impl="xla")
+    y_xla, _ = gastnet_forward(params, state, x, cfg_x, variant="dilated",
+                               train=False)
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_xla))

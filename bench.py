@@ -114,10 +114,10 @@ def get_train_baseline():
 def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
     """Steady-state device throughput of the PRODUCTION inference forward
     (config_for_frames: "high" matmuls + the measured mixed-precision
-    overrides, <=0.1mm parity budget). Through r1 this metric ran the
-    all-"high" bit-study config (10.6k seq/s); the r2 history jump to
-    ~13.4k is the adopted mixed preset, not a like-for-like speedup —
-    see DESIGN.md's bench table.
+    overrides + the fused GAB kernels on TPU, <=0.1mm parity budget).
+    Metric history: r1 ran the all-"high" bit-study config (10.6k seq/s);
+    r2's ~13.4k is the adopted mixed preset; r3's ~14.4k adds the
+    whole-block Pallas kernels (gab_impl="auto") — see DESIGN.md.
 
     ``iters`` forwards run inside ONE jitted lax.scan and sync once via
     jax.device_get — this measures pure device time. (Per-call timing is

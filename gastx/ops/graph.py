@@ -345,6 +345,10 @@ def graph_attention_block(
     """
     if gab_impl == "auto":
         gab_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if gab_impl.startswith("pallas") and x.dtype != jnp.float32:
+        # The fused kernels are f32-only (f32 out_shape, f32 weight
+        # tables); bf16-storage inference takes the XLA path.
+        gab_impl = "xla"
     if gab_impl.startswith("pallas_local") and not train:
         from gastx.ops.pallas.fused_gab import (
             KERNEL_OPS, MAX_SPLIT_CHANNELS, fused_local_branch)

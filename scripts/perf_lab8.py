@@ -49,8 +49,12 @@ def _timed_scan(fwd, params, state, x, iters=30):
 
 def run_frames(frames: int, batches):
     mixed = config_for_frames(frames, dropout=0.0)
+    # Pin the error reference to the XLA path: with gab_impl="auto" it
+    # would recompile highest-tier variants of every fused kernel level
+    # (the error metric wants the established XLA-highest reference
+    # anyway). bf16 rows take the XLA path regardless (f32-only kernels).
     exact = dataclasses.replace(mixed, matmul_precision="highest",
-                                precision_overrides=())
+                                precision_overrides=(), gab_impl="xla")
 
     def fwd_mixed(p, s, xx):
         return gastnet_forward(p, s, xx, mixed, variant="dilated",

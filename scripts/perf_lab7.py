@@ -197,7 +197,7 @@ def e2e(impl: str):
     print(f"E2E {impl}: {batch * iters / dt:.0f} seq/s", flush=True)
 
 
-def err_pallas(impl: str = "pallas"):
+def err_pallas(impl: str = "pallas", frames: int = 27):
     """End-to-end mm error of gab_impl=pallas vs the all-"highest" XLA
     forward over seeds (the perf_lab2/3/6 metric; budget 0.1 mm)."""
     import dataclasses
@@ -208,7 +208,7 @@ def err_pallas(impl: str = "pallas"):
 
     from gastx.models import config_for_frames, gastnet_forward, init_gastnet
 
-    mixed = dataclasses.replace(config_for_frames(27, dropout=0.0),
+    mixed = dataclasses.replace(config_for_frames(frames, dropout=0.0),
                                 gab_impl=impl)
     exact = dataclasses.replace(mixed, matmul_precision="highest",
                                 precision_overrides=(), gab_impl="xla")
@@ -227,13 +227,14 @@ def err_pallas(impl: str = "pallas"):
     for seed in range(8):
         params, state = init_gastnet(jax.random.PRNGKey(seed), mixed)
         rng = np.random.default_rng(seed)
-        x = jnp.asarray(rng.standard_normal((64, 27, 17, 2)).astype(
+        x = jnp.asarray(rng.standard_normal((64, frames, 17, 2)).astype(
             np.float32))
         d = float(jnp.max(jnp.abs(jax.device_get(fwd_p(params, state, x))
                                   - jax.device_get(fwd_e(params, state, x)))))
         worst = max(worst, d * 1000.0)
-        print(f"  err[{impl}] seed={seed}: {d*1000.0:.4f} mm", flush=True)
-    print(f"ERR {impl}: worst {worst:.4f} mm "
+        print(f"  err[{impl} {frames}f] seed={seed}: {d*1000.0:.4f} mm",
+              flush=True)
+    print(f"ERR {impl} {frames}f: worst {worst:.4f} mm "
           f"({'WITHIN' if worst <= 0.1 else 'OVER'} 0.1mm budget)",
           flush=True)
 
@@ -265,7 +266,9 @@ def main():
     elif "--e2e-pallas" in sys.argv:
         e2e("pallas")
     elif "--err-pallas" in sys.argv:
-        err_pallas("pallas")
+        i = sys.argv.index("--err-pallas")
+        frames = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 27
+        err_pallas("pallas", frames)
     elif "--e2e" in sys.argv:
         e2e("pallas_local")
         e2e("xla")

@@ -48,6 +48,19 @@ class GastNetConfig:
     # tensor; "gather" avoids the channel-batched adjacency matmul.
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
+    # EVAL-mode activation/param storage dtype: "float32" (default),
+    # "bfloat16", or "auto" (= bf16 on TPU backends, f32 elsewhere).
+    # bf16 storage halves HBM bytes — the roofline's binding term — and
+    # was measured on-chip (r3, scripts/perf_lab8.py) per architecture:
+    #   27f/ch128: 17.9k seq/s but 0.26mm worst seed — OVER the 0.1mm
+    #              budget; stays f32 (the fused-kernel mixed path, 14.4k).
+    #   81f/ch64:  4,317 vs 3,299 seq/s (+31%) at 0.087mm worst of 8 — the
+    #              production default via config_for_frames ("auto").
+    #   243f/ch32: 1,131 vs 894 seq/s (+26%) at 0.030mm — also default;
+    #              removes the old B=256 HBM-capacity cap (B=1024 fits),
+    #              leaving the ch-32 lane-padding bandwidth ceiling.
+    # Training always runs f32 storage (the tier applies to eval only).
+    storage_dtype: str = "float32"
     # Graph-attention-block implementation for the EVAL-mode forward:
     # "xla" (default for bare configs), "pallas" — the fused VMEM-resident
     # kernels (gastx/ops/pallas/fused_gab.py): whole-block kernel for

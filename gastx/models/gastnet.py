@@ -53,6 +53,26 @@ def gastnet_forward(
     if train and cfg.dropout > 0.0:
         assert rng is not None, "rng required for dropout in train mode"
 
+    # Eval-mode bf16 activation/param storage (cfg.storage_dtype; measured
+    # per-architecture in scripts/perf_lab8.py — see the config table).
+    # Training always stays f32; outputs and BN state stay f32 at the
+    # boundary (eval mode never mutates state).
+    sd = cfg.storage_dtype
+    if sd == "auto":
+        sd = ("bfloat16" if not train and jax.default_backend() == "tpu"
+              else "float32")
+    if sd == "bfloat16" and not train:
+        from gastx.models.precision import cast_floating
+
+        orig_state = state
+        params = cast_floating(params, jnp.bfloat16)
+        state = cast_floating(state, jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            y, _ = _forward(params, state, x, cfg, variant=variant,
+                            train=False, rng=rng)
+        return y.astype(jnp.float32), orig_state
+
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _forward(params, state, x, cfg, variant=variant, train=train,
                         rng=rng)

@@ -107,3 +107,40 @@ def test_gab_impl_auto_resolves_to_xla_on_cpu():
     y_xla, _ = gastnet_forward(params, state, x, cfg_x, variant="dilated",
                                train=False)
     np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_xla))
+
+
+def test_storage_dtype_bf16_mechanism():
+    """storage_dtype="bfloat16": eval forward computes in bf16 storage but
+    returns f32 outputs and the caller's state untouched; "auto" resolves
+    to f32 on CPU (bitwise-equal to the default path)."""
+    cfg = GastNetConfig(channels=32, dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y32, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                             train=False)
+    cfg_bf = dataclasses.replace(cfg, storage_dtype="bfloat16")
+    y16, s16 = gastnet_forward(params, state, x, cfg_bf, variant="dilated",
+                               train=False)
+    assert np.asarray(y16).dtype == np.float32
+    # state boundary: identical leaves (eval mode, original state returned)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # bf16 compute is close but not equal to f32
+    d = np.abs(np.asarray(y16) - np.asarray(y32)).max()
+    assert 0 < d < 0.05
+
+    # train mode ignores the storage tier entirely
+    key = jax.random.PRNGKey(5)
+    yt32, st32 = gastnet_forward(params, state, x, cfg, variant="strided",
+                                 train=True, rng=key)
+    yt16, st16 = gastnet_forward(params, state, x, cfg_bf, variant="strided",
+                                 train=True, rng=key)
+    np.testing.assert_array_equal(np.asarray(yt32), np.asarray(yt16))
+
+    cfg_auto = dataclasses.replace(cfg, storage_dtype="auto")
+    y_auto, _ = gastnet_forward(params, state, x, cfg_auto,
+                                variant="dilated", train=False)
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y32))

@@ -8,6 +8,7 @@ reason; here everything lives in one array library).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from gastx.geometry.quaternion import qinverse, qrot
 
@@ -15,17 +16,24 @@ from gastx.geometry.quaternion import qinverse, qrot
 def normalize_screen_coordinates(X, w, h):
     """Map pixel coords so that [0, w] -> [-1, 1], preserving aspect ratio.
 
-    Reference: common/camera.py:8-12.
+    Reference: common/camera.py:8-12. Host-side numpy inputs stay numpy:
+    these run in per-frame host loops (realtime CLI), where a device
+    dispatch would cost ~30 ms of tunnel RTT for a 17x2 array
+    (scripts/perf_lab9.py stage attribution).
     """
-    X = jnp.asarray(X)
     assert X.shape[-1] == 2
+    if isinstance(X, np.ndarray):
+        return X / w * 2.0 - np.asarray([1.0, h / w], dtype=X.dtype)
+    X = jnp.asarray(X)
     return X / w * 2.0 - jnp.asarray([1.0, h / w], dtype=X.dtype)
 
 
 def image_coordinates(X, w, h):
     """Inverse of :func:`normalize_screen_coordinates` (common/camera.py:15-19)."""
-    X = jnp.asarray(X)
     assert X.shape[-1] == 2
+    if isinstance(X, np.ndarray):
+        return (X + np.asarray([1.0, h / w], dtype=X.dtype)) * w / 2.0
+    X = jnp.asarray(X)
     return (X + jnp.asarray([1.0, h / w], dtype=X.dtype)) * w / 2.0
 
 

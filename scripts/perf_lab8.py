@@ -102,6 +102,16 @@ def run_frames(frames: int, batches):
 
 
 def main():
+    import sys
+
+    if "--err-only" in sys.argv:
+        # 8-seed robustness confirmation for the adoption decision
+        # (the main run measured 4 seeds + throughput).
+        global SEEDS
+        SEEDS = 8
+        run_frames(81, [])
+        run_frames(243, [])
+        return
     run_frames(27, [(1024, "bf16")])
     run_frames(81, [(1024, "bf16")])
     run_frames(243, [(256, "bf16"), (512, "bf16"), (1024, "bf16"),

@@ -48,6 +48,15 @@ class GastNetConfig:
     # tensor; "gather" avoids the channel-batched adjacency matmul.
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
+    # Packed narrow-level layout (eval/dilated only): levels whose
+    # graph-block input width C is <= this threshold keep activations as
+    # (B, T, J*C) — J in lanes — instead of (B, T, J, C), cutting the
+    # 4x/2x lane padding of the 243f/81f ch-32/64 levels (the measured
+    # bandwidth ceiling, perf_lab8). Convs become block-diagonal matmuls
+    # (extra MXU FLOPs the memory-bound roofline makes free) and graph
+    # blocks run in the packed Pallas kernel (fused_gab_packed, VMEM
+    # unpack). 0 = off. Requires the pallas/auto gab_impl route.
+    packed_channels: int = 0
     # EVAL-mode activation/param storage dtype: "float32" (default),
     # "bfloat16", or "auto" (= bf16 on TPU backends, f32 elsewhere).
     # bf16 storage halves HBM bytes — the roofline's binding term — and

@@ -78,6 +78,82 @@ def gastnet_forward(
                         rng=rng)
 
 
+def _packed_prefix(params, state, y, cfg, statics, level_prec):
+    """Eval-mode narrow-level prefix in the PACKED (B, T, J*C) layout.
+
+    The 243f/81f architectures' narrow levels (C=32/64) pad the 128-lane
+    dim 4x/2x in the standard (B, T, J, C) layout — the bandwidth ceiling
+    perf_lab8 measured. Packing J into lanes stores them at J*C=544/1088
+    (1.18x/1.0x padding). Per level: the temporal/1x1 convs become
+    block-diagonal matmuls (kron(I_J, W) — ~J x more MXU FLOPs, which the
+    memory-bound roofline makes free), BN runs with J-tiled vectors, and
+    the graph block runs in the packed whole-block Pallas kernel
+    (fused_gab_packed) which unpacks in VMEM. Returns
+    (y unpacked (B,T,J,C), first classic level index, its dilation).
+    Eval only — BN state is unchanged, dropout off.
+    """
+    from gastx.ops.pallas.fused_gab import KERNEL_OPS, fused_gab_packed
+    from gastx.ops.pallas.precision import resolve_tiers
+
+    interpret = cfg.gab_impl == "pallas_interpret"
+    j = statics.num_joints
+    sym = tuple(int(i) for i in statics.sym_idx)
+    con = tuple(int(i) for i in statics.con_idx)
+    fw = cfg.filter_widths
+    pads = cfg.pads()
+    shifts = cfg.causal_shifts("dilated")
+
+    def tiled(d):
+        return {k: jnp.tile(v, j) for k, v in d.items()}
+
+    def blockdiag(w):  # (Cin, Cout) -> (J*Cin, J*Cout)
+        return jnp.kron(jnp.eye(j, dtype=w.dtype), w)
+
+    b_, t_, _, c = y.shape
+    y = y.reshape(b_, t_, j * c)
+
+    y = fused_gab_packed(
+        y, params["gabs"][0], state["gabs"][0], j, sym, con,
+        interpret=interpret,
+        precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS))
+
+    next_dilation = fw[0]
+    i = 1
+    while i < cfg.num_levels and cfg.block_channels(i) <= cfg.packed_channels:
+        blk_p = params["temporal"][i - 1]
+        blk_s = state["temporal"][i - 1]
+        lp = level_prec(f"lvl{i}")
+
+        pad, shift = pads[i], shifts[i]
+        res = y[:, pad + shift: y.shape[1] - pad + shift]
+        wpk = jax.vmap(blockdiag)(blk_p["conv_t"]["w"])  # (fw, JC, JC)
+        z = jax.lax.conv_general_dilated(
+            y[:, :, None, :], wpk[:, None, :, :], window_strides=(1, 1),
+            padding="VALID",
+            rhs_dilation=(1 if cfg.dense else next_dilation, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lp("temporal"))[:, :, 0, :]
+        z, _ = batch_norm(z, tiled(blk_p["bn_t"]), tiled(blk_s["bn_t"]),
+                          train=False)
+        z = jax.nn.relu(z)
+        z = jnp.matmul(z, blockdiag(blk_p["conv_1"]["w"]),
+                       precision=lp("mid1x1"))
+        z, _ = batch_norm(z, tiled(blk_p["bn_1"]), tiled(blk_s["bn_1"]),
+                          train=False)
+        z = jax.nn.relu(z)
+        y = res + z
+
+        y = fused_gab_packed(
+            y, params["gabs"][i], state["gabs"][i], j, sym, con,
+            interpret=interpret,
+            precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS))
+        next_dilation *= fw[i]
+        i += 1
+
+    c_out = y.shape[-1] // j
+    return y.reshape(y.shape[0], y.shape[1], j, c_out), i, next_dilation
+
+
 def _forward(params, state, x, cfg, *, variant, train, rng):
 
     statics = graph_statics(cfg.layout)
@@ -108,17 +184,35 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
         y, params["expand_bn"], state["expand_bn"], train=train)
     y = jax.nn.relu(y)
 
-    gab_states = []
-    y, s_gab = graph_attention_block(
-        y, params["gabs"][0], state["gabs"][0], statics,
-        train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
-        attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-        gab_impl=cfg.gab_impl, prec=level_prec("gab0"))
-    gab_states.append(s_gab)
+    # Packed narrow-level prefix (eval/dilated only; needs the pallas
+    # kernels — interpret for tests, real on TPU backends).
+    use_packed = (
+        not train and variant == "dilated"
+        and cfg.packed_channels >= cfg.channels
+        and x.dtype == jnp.float32
+        and (cfg.gab_impl in ("pallas", "pallas_interpret")
+             or (cfg.gab_impl == "auto"
+                 and jax.default_backend() == "tpu")))
 
+    gab_states = []
     temporal_states = []
-    next_dilation = fw[0]
-    for i in range(1, cfg.num_levels):
+    if use_packed:
+        y, start, next_dilation = _packed_prefix(
+            params, state, y, cfg, statics, level_prec)
+        # Eval mode leaves BN state untouched on every packed level.
+        gab_states.extend(state["gabs"][:start])
+        temporal_states.extend(state["temporal"][:start - 1])
+    else:
+        y, s_gab = graph_attention_block(
+            y, params["gabs"][0], state["gabs"][0], statics,
+            train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
+            attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
+            gab_impl=cfg.gab_impl, prec=level_prec("gab0"))
+        gab_states.append(s_gab)
+        start = 1
+        next_dilation = fw[0]
+
+    for i in range(start, cfg.num_levels):
         blk_p = params["temporal"][i - 1]
         blk_s = state["temporal"][i - 1]
 

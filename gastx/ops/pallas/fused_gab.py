@@ -424,6 +424,103 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     return out.reshape(b_, t_, j_, 2 * c_)
 
 
+def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
+                   j: int, col_sym, col_con, tiers, interpret: bool):
+    """Whole-block kernel on the PACKED (TM, J*C) layout.
+
+    Identical math to :func:`_kernel`; only the HBM tile shapes differ —
+    the packed layout stores narrow-channel activations with J*C on the
+    lane axis (544 vs 32->128 padding for the 243f ch-32 levels, a 5.65x
+    HBM traffic cut), and the (TM, J*C) -> (TM*J, C) unpack happens here
+    in VMEM where the shuffle is ~free.
+    """
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    tm = x_ref.shape[0]
+    c = x_ref.shape[1] // j
+    xr = x_ref[:].reshape(tm * j, c)
+    dot, dotg = _make_dots(tiers, interpret)
+
+    (w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+     w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
+     bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
+     bncon_shift_ref, lcat_w_ref, lcat_scale_ref, lcat_shift_ref,
+     theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
+     g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
+     acat_scale_ref, acat_shift_ref,
+     gcat_w_ref, gcat_scale_ref, gcat_shift_ref) = wrefs
+
+    local = _local_branch(
+        xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
+        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
+        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
+    globl = _global_branch(
+        xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
+        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
+        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
+    y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
+                      gcat_shift_ref)
+    out_ref[:] = y.reshape(tm, j * 2 * c)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_joints", "sym_idx", "con_idx",
+                                    "interpret", "tile_rows", "precs"))
+def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
+                     num_joints: int, sym_idx: tuple, con_idx: tuple, *,
+                     interpret: bool = False, tile_rows: int = 0,
+                     precs: tuple = ()) -> jnp.ndarray:
+    """Packed-layout whole-block kernel: (B, T, J*C) -> (B, T, J*2C).
+
+    Same contract as :func:`fused_gab` but for activations kept in the
+    packed narrow-level layout (gastx/models/gastnet.py packed path):
+    HBM tiles are 2-D (rows, J*C), so a C=32 level moves 1.18x-padded
+    bytes instead of 5.65x.
+    """
+    b_, t_, jc = x.shape
+    j_ = num_joints
+    c_ = jc // j_
+    assert c_ * j_ == jc, (jc, j_)
+    if c_ > MAX_FUSED_CHANNELS:
+        raise ValueError(
+            f"fused_gab_packed supports C <= {MAX_FUSED_CHANNELS}, got {c_}")
+    lp, gp = params["local"], params["global"]
+    k, _, inter = gp["theta_w"].shape
+    g_ch = gp["g_w"].shape[2]
+    tiers = tiers_from_pairs(precs, KERNEL_OPS)
+
+    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
+    ins = local_ins + _global_ins(gp, state, j_, c_, k, inter, g_ch) \
+        + _concat_ins(params, state, c_)
+
+    m_total = b_ * t_
+    tm = tile_rows or max(8, min(128, 2**12 // max(c_, 128)))
+    pad = (-m_total) % tm
+    xf = x.reshape(m_total, jc)
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, jc), x.dtype)], axis=0)
+    vm = pltpu.VMEM
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, num_heads=k, inter=inter,
+                          g_ch=g_ch, j=j_, col_sym=col_s, col_con=col_c,
+                          tiers=tiers, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_ * 2 * c_),
+                                       jnp.float32),
+        grid=(xf.shape[0] // tm,),
+        in_specs=[pl.BlockSpec((tm, jc), lambda i: (i, 0),
+                               memory_space=vm)] + [spec for _, spec in ins],
+        out_specs=pl.BlockSpec((tm, j_ * 2 * c_), lambda i: (i, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(xf, *[arr for arr, _ in ins])
+
+    if pad:
+        out = out[:m_total]
+    return out.reshape(b_, t_, j_ * 2 * c_)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs"))

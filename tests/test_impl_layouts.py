@@ -144,3 +144,35 @@ def test_storage_dtype_bf16_mechanism():
     y_auto, _ = gastnet_forward(params, state, x, cfg_auto,
                                 variant="dilated", train=False)
     np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y32))
+
+
+def test_packed_narrow_levels_match_classic():
+    """cfg.packed_channels: the packed (B, T, J*C) narrow-level prefix
+    (block-diagonal convs + tiled BN + packed fused-GAB kernel) matches
+    the classic layout, full eval forward, interpret kernels."""
+    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=32, dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y_ref, s_ref = gastnet_forward(params, state, x, cfg,
+                                   variant="dilated", train=False)
+    for thresh in (32, 64, 128):
+        cfg_p = dataclasses.replace(cfg, gab_impl="pallas_interpret",
+                                    packed_channels=thresh)
+        y_got, s_got = gastnet_forward(params, state, x, cfg_p,
+                                       variant="dilated", train=False)
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                                   atol=2e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                        jax.tree_util.tree_leaves(s_got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # train mode / strided ignore the packed flag entirely
+    key = jax.random.PRNGKey(6)
+    cfg_p = dataclasses.replace(cfg, packed_channels=64)
+    yt, _ = gastnet_forward(params, state, x, cfg_p, variant="strided",
+                            train=True, rng=key)
+    yt_ref, _ = gastnet_forward(params, state, x, cfg, variant="strided",
+                                train=True, rng=key)
+    np.testing.assert_array_equal(np.asarray(yt), np.asarray(yt_ref))

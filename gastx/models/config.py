@@ -48,14 +48,19 @@ class GastNetConfig:
     # tensor; "gather" avoids the channel-batched adjacency matmul.
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
-    # Packed narrow-level layout (eval/dilated only): levels whose
-    # graph-block input width C is <= this threshold keep activations as
-    # (B, T, J*C) — J in lanes — instead of (B, T, J, C), cutting the
-    # 4x/2x lane padding of the 243f/81f ch-32/64 levels (the measured
-    # bandwidth ceiling, perf_lab8). Convs become block-diagonal matmuls
-    # (extra MXU FLOPs the memory-bound roofline makes free) and graph
-    # blocks run in the packed Pallas kernel (fused_gab_packed, VMEM
-    # unpack). 0 = off. Requires the pallas/auto gab_impl route.
+    # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
+    # whose graph-block input width C is <= this threshold keep
+    # activations as (B, T, J*C) — J in lanes — instead of (B, T, J, C),
+    # cutting the 4x/2x lane padding of the 243f/81f ch-32/64 levels (the
+    # measured bandwidth ceiling, perf_lab8). Convs become block-diagonal
+    # matmuls and graph blocks run in the packed Pallas kernel
+    # (fused_gab_packed, VMEM unpack). Interpret-verified == classic, but
+    # BLOCKED ON REAL TPUs (r3): Mosaic rejects the kernel's lane->sublane
+    # unpack ("infer-vector-layout: unsupported shape cast",
+    # vector<TMxJ*C> -> vector<TM*JxC>), and every alternative
+    # formulation re-hits the same relayout wall (DESIGN.md). 0 = off
+    # (the default); bf16 storage_dtype is the adopted narrow-level
+    # bandwidth lever instead.
     packed_channels: int = 0
     # EVAL-mode activation/param storage dtype: "float32" (default),
     # "bfloat16", or "auto" (= bf16 on TPU backends, f32 elsewhere).
@@ -235,8 +240,14 @@ def config_for_frames(
     else:
         raise ValueError(f"No shipped config for receptive field {frames}")
     layout = {17: "h36m17", 19: "h36m19", 16: "sh16", 15: "humaneva15"}[num_joints]
+    # 81f/243f inference defaults to bf16 activation/param storage on TPU
+    # ("auto"): measured within-budget (0.090/0.034 mm worst of 8 seeds)
+    # at +31%/+26% — the narrow-channel architectures' short accumulations
+    # keep bf16 error small where 27f/ch128's does not (0.26 mm). See the
+    # storage_dtype field's measured table.
+    storage = "auto" if frames in (81, 243) else "float32"
     return GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
                          filter_widths=fw, channels=ch, causal=causal,
                          dropout=dropout, layout=layout,
                          precision_overrides=tuple(precision_overrides),
-                         gab_impl=gab_impl)
+                         gab_impl=gab_impl, storage_dtype=storage)

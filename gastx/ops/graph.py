@@ -345,9 +345,11 @@ def graph_attention_block(
     """
     if gab_impl == "auto":
         gab_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if gab_impl.startswith("pallas") and x.dtype != jnp.float32:
-        # The fused kernels are f32-only (f32 out_shape, f32 weight
-        # tables); bf16-storage inference takes the XLA path.
+    if gab_impl.startswith("pallas_local") and x.dtype != jnp.float32:
+        # The hybrid mixes kernel outputs with XLA activations, so its
+        # dtypes must match; bf16 storage takes the XLA path here. The
+        # whole-block/split kernels below accept bf16 activations
+        # directly (f32 compute inside, bf16 HBM in/out).
         gab_impl = "xla"
     if gab_impl.startswith("pallas_local") and not train:
         from gastx.ops.pallas.fused_gab import (

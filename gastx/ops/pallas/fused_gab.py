@@ -207,7 +207,9 @@ def _kernel(x_ref,
             col_sym, col_con, tiers, interpret: bool):
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
-    xr = x_ref[:].reshape(tm * j, c)
+    # bf16-storage inputs upcast at the VMEM boundary: HBM moves half the
+    # bytes, in-kernel compute stays f32 (weights are prepped f32).
+    xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
 
     local = _local_branch(
@@ -221,7 +223,7 @@ def _kernel(x_ref,
         acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
     y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
                       gcat_shift_ref)
-    out_ref[:] = y.reshape(tm, j, 2 * c)
+    out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
 
 def _kernel_local(x_ref,
@@ -233,14 +235,14 @@ def _kernel_local(x_ref,
                   j: int, col_sym, col_con, tiers, interpret: bool):
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
-    xr = x_ref[:].reshape(tm * j, c)
+    xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, _ = _make_dots(tiers, interpret)
     local = _local_branch(
         xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
         w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
         bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
         lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
-    out_ref[:] = local.reshape(tm, j, c)
+    out_ref[:] = local.reshape(tm, j, c).astype(out_ref.dtype)
 
 
 def _kernel_globcat(x_ref, local_ref,
@@ -253,8 +255,8 @@ def _kernel_globcat(x_ref, local_ref,
                     tiers, interpret: bool):
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
-    xr = x_ref[:].reshape(tm * j, c)
-    local = local_ref[:].reshape(tm * j, c)
+    xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
+    local = local_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
     globl = _global_branch(
         xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
@@ -262,7 +264,7 @@ def _kernel_globcat(x_ref, local_ref,
         acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
     y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
                       gcat_shift_ref)
-    out_ref[:] = y.reshape(tm, j, 2 * c)
+    out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -350,6 +352,16 @@ def _concat_ins(params, state, c_):
     ]
 
 
+def _ensure_f32(tree):
+    """Upcast a (possibly bf16-storage) param/state subtree to f32: the
+    kernels compute in f32 regardless of activation storage dtype, and
+    weight HBM traffic is negligible next to activations."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def _tile_rows(x, tile_rows, budget):
     b_, t_, j_, c_ = x.shape
     m_total = b_ * t_
@@ -389,6 +401,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     if c_ > MAX_FUSED_CHANNELS:
         raise ValueError(
             f"fused_gab supports C <= {MAX_FUSED_CHANNELS}, got {c_}")
+    params, state = _ensure_f32(params), _ensure_f32(state)
     lp, gp = params["local"], params["global"]
     k, _, inter = gp["theta_w"].shape
     g_ch = gp["g_w"].shape[2]
@@ -410,7 +423,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
                           j=j_, col_sym=col_s, col_con=col_c, tiers=tiers,
                           interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
-                                       jnp.float32),
+                                       x.dtype),
         grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
                                memory_space=vm)] + [spec for _, spec in ins],
@@ -549,6 +562,7 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
         raise ValueError(
             f"fused_local_branch supports C <= {MAX_SPLIT_CHANNELS}, "
             f"got {c_}")
+    params, state = _ensure_f32(params), _ensure_f32(state)
     lp = params["local"]
     tiers = tiers_from_pairs(precs, KERNEL_OPS)
     local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
@@ -559,7 +573,7 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
     local = pl.pallas_call(
         functools.partial(_kernel_local, j=j_, col_sym=col_s, col_con=col_c,
                           tiers=tiers, interpret=interpret),
-        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), x.dtype),
         grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
                                memory_space=vm)]
@@ -593,6 +607,7 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     if c_ > MAX_SPLIT_CHANNELS:
         raise ValueError(
             f"fused_gab_split supports C <= {MAX_SPLIT_CHANNELS}, got {c_}")
+    params, state = _ensure_f32(params), _ensure_f32(state)
     lp, gp = params["local"], params["global"]
     k, _, inter = gp["theta_w"].shape
     g_ch = gp["g_w"].shape[2]
@@ -611,7 +626,7 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     local = pl.pallas_call(
         functools.partial(_kernel_local, j=j_, col_sym=col_s, col_con=col_c,
                           tiers=tiers, interpret=interpret),
-        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), x.dtype),
         grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
                                memory_space=vm)]
@@ -625,7 +640,7 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
         functools.partial(_kernel_globcat, num_heads=k, inter=inter,
                           g_ch=g_ch, j=j_, tiers=tiers, interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
-                                       jnp.float32),
+                                       x.dtype),
         grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
                                memory_space=vm),

@@ -176,3 +176,25 @@ def test_packed_narrow_levels_match_classic():
     yt_ref, _ = gastnet_forward(params, state, x, cfg, variant="strided",
                                 train=True, rng=key)
     np.testing.assert_array_equal(np.asarray(yt), np.asarray(yt_ref))
+
+
+def test_bf16_storage_through_pallas_kernels():
+    """bf16 activations flow through the fused GAB kernels (interpret):
+    bf16 HBM in/out, f32 compute inside, f32 boundary, state untouched."""
+    cfg = GastNetConfig(filter_widths=(3, 3, 3), channels=32, dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y32, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                             train=False)
+    cfg_bk = dataclasses.replace(cfg, gab_impl="pallas_interpret",
+                                 storage_dtype="bfloat16")
+    y_bk, s_bk = gastnet_forward(params, state, x, cfg_bk,
+                                 variant="dilated", train=False)
+    assert np.asarray(y_bk).dtype == np.float32
+    d = np.abs(np.asarray(y_bk) - np.asarray(y32)).max()
+    assert 0 < d < 0.05
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s_bk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

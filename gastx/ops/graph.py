@@ -344,12 +344,17 @@ def graph_attention_block(
     (14,441 vs 13,377 seq/s) at 0.081mm worst-seed error (r3, DESIGN.md).
     """
     if gab_impl == "auto":
-        gab_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Measured routing (r3, perf_lab7/8/11): f32 activations win with
+        # the fused kernels (+8%, 14.4k vs 13.4k at 27f); bf16-storage
+        # activations win on the plain XLA path (81f: 4316 vs 3675 seq/s
+        # and 0.090 vs 0.110 mm; 243f: 1133 vs 924 — XLA fuses the bf16
+        # chain better than the f32-internal kernels + launches). The
+        # kernels do accept bf16 (tested); it's just not the fast route.
+        gab_impl = ("pallas" if jax.default_backend() == "tpu"
+                    and x.dtype == jnp.float32 else "xla")
     if gab_impl.startswith("pallas_local") and x.dtype != jnp.float32:
         # The hybrid mixes kernel outputs with XLA activations, so its
-        # dtypes must match; bf16 storage takes the XLA path here. The
-        # whole-block/split kernels below accept bf16 activations
-        # directly (f32 compute inside, bf16 HBM in/out).
+        # dtypes must match; bf16 storage takes the XLA path here.
         gab_impl = "xla"
     if gab_impl.startswith("pallas_local") and not train:
         from gastx.ops.pallas.fused_gab import (

@@ -48,6 +48,11 @@ class GastNetConfig:
     # tensor; "gather" avoids the channel-batched adjacency matmul.
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
+    # Row-tile VMEM budget for the fused GAB kernels: rows per tile =
+    # budget // max(C, 128). 4096 (32 rows at C=128) keeps the kernel's
+    # scoped-VMEM stack ~8M of the 16M limit (the 2**14 default OOM'd at
+    # 31.28M); larger budgets are a measured tuning knob (perf_lab12).
+    gab_tile_budget: int = 4096
     # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
     # whose graph-block input width C is <= this threshold keep
     # activations as (B, T, J*C) — J in lanes — instead of (B, T, J, C),

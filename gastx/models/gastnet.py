@@ -207,7 +207,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             y, params["gabs"][0], state["gabs"][0], statics,
             train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-            gab_impl=cfg.gab_impl, prec=level_prec("gab0"))
+            gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
+            prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
         next_dilation = fw[0]
@@ -241,7 +242,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             y, params["gabs"][i], state["gabs"][i], statics,
             train=train, dropout_rate=cfg.dropout, rng=block_rng(i),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-            gab_impl=cfg.gab_impl, prec=level_prec(f"gab{i}"))
+            gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
+            prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})
         gab_states.append(s_gab)

@@ -323,6 +323,7 @@ def graph_attention_block(
     attn_impl: str = "einsum",
     local_impl: str = "einsum",
     gab_impl: str = "xla",
+    gab_tile_budget: int = 4096,
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
@@ -395,7 +396,8 @@ def graph_attention_block(
                    tuple(int(i) for i in statics.sym_idx),
                    tuple(int(i) for i in statics.con_idx),
                    interpret=(gab_impl == "pallas_interpret"),
-                   precs=resolve_tiers(prec, KERNEL_OPS))
+                   precs=resolve_tiers(prec, KERNEL_OPS),
+                   tile_budget=gab_tile_budget)
             return y, state
 
     rng_l = rng_g = None

@@ -379,11 +379,11 @@ def _tile_rows(x, tile_rows, budget):
 
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
-                                    "tile_rows", "precs"))
+                                    "tile_rows", "precs", "tile_budget"))
 def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
               sym_idx: tuple, con_idx: tuple, *,
               interpret: bool = False, tile_rows: int = 0,
-              precs: tuple = ()) -> jnp.ndarray:
+              precs: tuple = (), tile_budget: int = 2**12) -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, 2C); eval-mode graph_attention_block.
 
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
@@ -415,7 +415,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     # scoped-VMEM stack (padded softmax + branch temporaries) measures
     # 31.28M at 128 rows/C=128 vs the 16M limit — same failure mode as
     # head_attn's TM=128 OOM; ~2**12/C rows keeps the stack under ~8M.
-    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**12)
+    # ``tile_budget`` is the tuning knob (GastNetConfig.gab_tile_budget).
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, tile_budget)
     vm = pltpu.VMEM
 
     out = pl.pallas_call(
@@ -590,11 +591,12 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
 
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
-                                    "tile_rows", "precs"))
+                                    "tile_rows", "precs", "tile_budget"))
 def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
                     sym_idx: tuple, con_idx: tuple, *,
                     interpret: bool = False, tile_rows: int = 0,
-                    precs: tuple = ()) -> jnp.ndarray:
+                    precs: tuple = (),
+                    tile_budget: int = 2**12) -> jnp.ndarray:
     """Same contract as :func:`fused_gab`, for MAX_FUSED_CHANNELS < C <=
     MAX_SPLIT_CHANNELS (the C=512 widest level of every shipped config).
 
@@ -620,7 +622,7 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     # Small row tiles (8 at C=512): the global+concat kernel holds
     # ~10.4 MB of weights at C=512 AND its scoped-VMEM temporary stack
     # scales with rows x C (see fused_gab's 2**12 budget note).
-    xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**12)
+    xf, tm, m_total, pad = _tile_rows(x, tile_rows, tile_budget)
     vm = pltpu.VMEM
 
     local = pl.pallas_call(

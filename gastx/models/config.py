@@ -49,9 +49,10 @@ class GastNetConfig:
     attn_impl: str = "einsum"
     local_impl: str = "einsum"
     # Row-tile VMEM budget for the fused GAB kernels: rows per tile =
-    # budget // max(C, 128). 4096 (32 rows at C=128) keeps the kernel's
-    # scoped-VMEM stack ~8M of the 16M limit (the 2**14 default OOM'd at
-    # 31.28M); larger budgets are a measured tuning knob (perf_lab12).
+    # budget // max(C, 128). Swept on-chip (perf_lab12): 4096 (32 rows at
+    # C=128) = 14,441 seq/s; 5120 (40 rows) = 13,555 (non-8-multiple row
+    # tiles relayout worse); 6144 (48 rows) compile-OOMs the 16M scoped
+    # VMEM by 540K (stack 16.53M). 4096 is the measured optimum.
     gab_tile_budget: int = 4096
     # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
     # whose graph-block input width C is <= this threshold keep

@@ -163,11 +163,14 @@ def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
 def measure_gastx_frames(frames: int, batch: int = None,
                          iters: int = 30) -> float:
     """Inference throughput for the shipped 81/243-frame architectures
-    (reconstruction.py:220-228): fw (3,3,3,3) ch64 / (3,3,3,3,3) ch32.
+    (reconstruction.py:220-228): fw (3,3,3,3) ch64 / (3,3,3,3,3) ch32,
+    at their production defaults (r3: bf16 storage on TPU).
 
-    243f defaults to B=256: its ch-32 levels pad the 128-wide lane dim 4x,
-    so B=1024 x T=243 activations exceed v5e HBM (measured: 20.7G padded
-    at 22% utilization vs 15.75G capacity)."""
+    243f keeps B=256: under the old f32 default B=1024 exceeded v5e HBM
+    (20.7G padded vs 15.75G); bf16 storage removed that cap but
+    throughput is flat in B (1131/1115/1111 seq/s at 256/512/1024 —
+    lane-padding bandwidth-bound, perf_lab8), so the smaller batch
+    stays."""
     batch = batch or (256 if frames == 243 else 1024)
     import jax
     import jax.numpy as jnp

@@ -210,8 +210,12 @@ def err_pallas(impl: str = "pallas", frames: int = 27):
 
     mixed = dataclasses.replace(config_for_frames(frames, dropout=0.0),
                                 gab_impl=impl)
+    # The reference must be f32 storage: 81/243f configs default
+    # storage_dtype="auto" (bf16 on TPU) since r3, and an inherited auto
+    # would silently compare bf16 against bf16.
     exact = dataclasses.replace(mixed, matmul_precision="highest",
-                                precision_overrides=(), gab_impl="xla")
+                                precision_overrides=(), gab_impl="xla",
+                                storage_dtype="float32")
 
     @jax.jit
     def fwd_p(p, s, xx):

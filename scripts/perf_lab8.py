@@ -48,11 +48,17 @@ def _timed_scan(fwd, params, state, x, iters=30):
 
 
 def run_frames(frames: int, batches):
-    mixed = config_for_frames(frames, dropout=0.0)
+    # Both configs pin storage_dtype explicitly: since r3 made "auto"
+    # (bf16-on-TPU) the 81/243f default, an inherited auto would turn the
+    # error reference into bf16 too (measured 0.0000 mm — a bf16-vs-bf16
+    # comparison, not an error bound). bf16 compute comes solely from the
+    # bf16_inference_fn wrapper below.
+    mixed = dataclasses.replace(config_for_frames(frames, dropout=0.0),
+                                storage_dtype="float32")
     # Pin the error reference to the XLA path: with gab_impl="auto" it
     # would recompile highest-tier variants of every fused kernel level
     # (the error metric wants the established XLA-highest reference
-    # anyway). bf16 rows take the XLA path regardless (f32-only kernels).
+    # anyway).
     exact = dataclasses.replace(mixed, matmul_precision="highest",
                                 precision_overrides=(), gab_impl="xla")
 

@@ -260,9 +260,13 @@ def measure_train_step(batch: int = 1024, iters: int = 20,
 
 def build_tiny_realtime(n_frames: int):
     """(clip_path, estimator, frame_size) with reduced random-weight
-    backbones — the shapes used by the unstubbed e2e pipeline tests.
-    Returns None when /root/reference (the tiny-HRNet source) is absent.
-    Shared by measure_realtime_e2e and scripts/perf_lab9.py."""
+    backbones — the same shapes as tests/test_video_pipeline_e2e.py's
+    tiny_models/tiny_video pytest fixtures (kept separate because those
+    are fixtures; the shared constants TINY_CFG/TINY_EXTRA and the weight
+    serializer ARE imported from the test modules). Returns None when
+    /root/reference (the tiny-HRNet source) is absent. Shared by
+    measure_realtime_e2e and scripts/perf_lab9.py; the caller owns
+    cleanup of the returned clip's temp dir."""
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from reference_torch import REFERENCE_PATH, reference_available
 
@@ -340,12 +344,22 @@ def measure_realtime_e2e(n_frames: int = 50):
 
     from gastx.cli.realtime import parse_args, run
 
+    import shutil
+
+    from gastx.pipeline.sort import Sort
+
     args = parse_args(["-v", clip, "--random-lifter-weights",
                        "--max-frames", str(n_frames)])
-    run(args, estimator=est)  # warmup: jit compiles + tracker init
-    t0 = time.perf_counter()
-    run(args, estimator=est)
-    return n_frames / (time.perf_counter() - t0)
+    try:
+        run(args, estimator=est)  # warmup: jit compiles
+        # Fresh tracker so the timed pass is a cold pipeline run (stale
+        # warmup tracks would change the box-selection control flow).
+        est.tracker = Sort()
+        t0 = time.perf_counter()
+        run(args, estimator=est)
+        return n_frames / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(os.path.dirname(clip), ignore_errors=True)
 
 
 # v5e per-chip peaks (public TPU v5e specs): the denominators for the

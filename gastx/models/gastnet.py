@@ -107,6 +107,10 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
         return {k: jnp.tile(v, j) for k, v in d.items()}
 
     def blockdiag(w):  # (Cin, Cout) -> (J*Cin, J*Cout)
+        # Materialized in-graph per forward (J^2 x the weight bytes,
+        # mostly zeros). Weights are tiny next to the activations this
+        # layout shrinks, and the path is Mosaic-blocked/experimental —
+        # precompute outside the forward if it ever becomes hot.
         return jnp.kron(jnp.eye(j, dtype=w.dtype), w)
 
     b_, t_, _, c = y.shape
@@ -114,7 +118,7 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
 
     y = fused_gab_packed(
         y, params["gabs"][0], state["gabs"][0], j, sym, con,
-        interpret=interpret,
+        interpret=interpret, tile_budget=cfg.gab_tile_budget,
         precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS))
 
     next_dilation = fw[0]
@@ -145,7 +149,7 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
 
         y = fused_gab_packed(
             y, params["gabs"][i], state["gabs"][i], j, sym, con,
-            interpret=interpret,
+            interpret=interpret, tile_budget=cfg.gab_tile_budget,
             precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS))
         next_dilation *= fw[i]
         i += 1

@@ -357,29 +357,13 @@ def graph_attention_block(
         # The hybrid mixes kernel outputs with XLA activations, so its
         # dtypes must match; bf16 storage takes the XLA path here.
         gab_impl = "xla"
+    use_local_kernel = False
     if gab_impl.startswith("pallas_local") and not train:
-        from gastx.ops.pallas.fused_gab import (
-            KERNEL_OPS, MAX_SPLIT_CHANNELS, fused_local_branch)
-        from gastx.ops.pallas.precision import resolve_tiers
+        from gastx.ops.pallas.fused_gab import MAX_SPLIT_CHANNELS
 
-        if x.shape[-1] <= MAX_SPLIT_CHANNELS:
-            local = fused_local_branch(
-                x, params, state,
-                tuple(int(i) for i in statics.sym_idx),
-                tuple(int(i) for i in statics.con_idx),
-                interpret=gab_impl.endswith("_interpret"),
-                precs=resolve_tiers(prec, KERNEL_OPS))
-            globl, s_glob = multi_global_graph(
-                x, params["global"], state["global"],
-                train=False, dropout_rate=dropout_rate,
-                impl=attn_impl, prec=prec)
-            y = jnp.concatenate([x, local, globl], axis=-1)
-            y = jnp.matmul(y, params["cat_w"], precision=prec("gab_cat"))
-            y, s_cat = batch_norm(y, params["cat_bn"], state["cat_bn"],
-                                  train=False)
-            y = jax.nn.relu(y)
-            return y, {"local": state["local"], "global": s_glob,
-                       "cat_bn": s_cat}
+        # Hybrid: only the local branch runs fused; the global branch and
+        # block concat fall through to the shared XLA tail below.
+        use_local_kernel = x.shape[-1] <= MAX_SPLIT_CHANNELS
     elif gab_impl != "xla" and not train:
         from gastx.ops.pallas.fused_gab import (
             KERNEL_OPS, MAX_FUSED_CHANNELS, MAX_SPLIT_CHANNELS, fused_gab,
@@ -404,10 +388,22 @@ def graph_attention_block(
     if rng is not None:
         rng_l, rng_g = jax.random.split(rng)
 
-    local, s_local = local_graph(
-        x, params["local"], state["local"], statics,
-        train=train, dropout_rate=dropout_rate, rng=rng_l,
-        impl=local_impl, prec=prec)
+    if use_local_kernel:
+        from gastx.ops.pallas.fused_gab import KERNEL_OPS, fused_local_branch
+        from gastx.ops.pallas.precision import resolve_tiers
+
+        local = fused_local_branch(
+            x, params, state,
+            tuple(int(i) for i in statics.sym_idx),
+            tuple(int(i) for i in statics.con_idx),
+            interpret=gab_impl.endswith("_interpret"),
+            precs=resolve_tiers(prec, KERNEL_OPS))
+        s_local = state["local"]  # eval mode: BN state untouched
+    else:
+        local, s_local = local_graph(
+            x, params["local"], state["local"], statics,
+            train=train, dropout_rate=dropout_rate, rng=rng_l,
+            impl=local_impl, prec=prec)
     globl, s_glob = multi_global_graph(
         x, params["global"], state["global"],
         train=train, dropout_rate=dropout_rate, rng=rng_g,

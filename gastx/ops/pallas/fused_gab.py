@@ -480,11 +480,13 @@ def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_joints", "sym_idx", "con_idx",
-                                    "interpret", "tile_rows", "precs"))
+                                    "interpret", "tile_rows", "precs",
+                                    "tile_budget"))
 def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
                      num_joints: int, sym_idx: tuple, con_idx: tuple, *,
                      interpret: bool = False, tile_rows: int = 0,
-                     precs: tuple = ()) -> jnp.ndarray:
+                     precs: tuple = (),
+                     tile_budget: int = 2**12) -> jnp.ndarray:
     """Packed-layout whole-block kernel: (B, T, J*C) -> (B, T, J*2C).
 
     Same contract as :func:`fused_gab` but for activations kept in the
@@ -509,7 +511,7 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
         + _concat_ins(params, state, c_)
 
     m_total = b_ * t_
-    tm = tile_rows or max(8, min(128, 2**12 // max(c_, 128)))
+    tm = tile_rows or max(8, min(128, tile_budget // max(c_, 128)))
     pad = (-m_total) % tm
     xf = x.reshape(m_total, jc)
     if pad:

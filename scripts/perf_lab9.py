@@ -99,19 +99,25 @@ def main():
                 if not ck:
                     return None
                 fk = np.asarray(ck, np.float32).reshape(1, 17, 2)
-                return np.asarray(normalize_screen_coordinates(
+                return fk, np.asarray(normalize_screen_coordinates(
                     fk, w=w, h=h), dtype=np.float32)
 
-            norm = timed("convert", convert_stage)
-            if norm is None:
+            converted = timed("convert", convert_stage)
+            if converted is None:
                 continue
+            frame_kpts, norm = converted
 
             def lift_stage():
                 pose = lifter.push(norm)
-                return revise_skes_real_time(list(pose), norm, w)
+                # pixel-space keypoints, like the real loop
+                # (gastx/cli/realtime.py:124)
+                return revise_skes_real_time(list(pose), frame_kpts, w)
 
             timed("lift", lift_stage)
         cap.release()
+
+    import shutil
+    shutil.rmtree(os.path.dirname(clip), ignore_errors=True)
 
     total = sum(stages.values())
     print(f"\nstage attribution over {counts['decode']} frames "

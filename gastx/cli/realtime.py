@@ -43,7 +43,115 @@ def parse_args(argv=None):
     parser.add_argument("--display", action="store_true",
                         help="show the live 2D overlay window")
     parser.add_argument("--random-lifter-weights", action="store_true")
+    parser.add_argument("--no-pipeline", action="store_true",
+                        help="strictly sequential per-frame loop (the "
+                             "pipelined default overlaps the detect / "
+                             "2D-pose / lift device dispatches of "
+                             "neighbouring frames; outputs are identical)")
     return parser.parse_args(argv)
+
+
+def _pipelined_loop(cap, estimator, args, lift_and_place, should_stop,
+                    depth: int = 4) -> int:
+    """Three-stage software pipeline over frames.
+
+    Per frame the host loop performs three device dispatches — YOLO
+    detect, HRNet 2D pose, causal streaming lift — each costing a fixed
+    tunnel/dispatch round-trip on top of sub-ms chip time. Run
+    sequentially they serialize (the measured 5.8 fps floor of
+    scripts/perf_lab9.py); pipelined across NEIGHBOURING frames the
+    round-trips overlap, so steady-state throughput approaches the
+    slowest single stage instead of the sum.
+
+    Stages (one worker thread each, FIFO queues of ``depth``):
+
+      reader:  cap.read                              -> q0
+      stage 1: detect + SORT track + affine crops    -> q1   (ordered:
+               owns the tracker state)
+      stage 2: HRNet heatmaps + decode               -> q2
+      main:    convert + streaming lift + placement  (ordered: owns the
+               lifter window state; runs ``lift_and_place``)
+
+    Every stage processes frames strictly in order, so tracker and
+    streaming-lifter state evolve exactly as in the sequential loop and
+    the output npz is bit-identical (tests/test_realtime_cli.py asserts
+    it).
+    Exceptions propagate to the caller; the sentinel ``None`` flushes
+    the pipe.
+    """
+    import queue
+    import threading
+
+    q0 = queue.Queue(maxsize=depth)
+    q1 = queue.Queue(maxsize=depth)
+    q2 = queue.Queue(maxsize=depth)
+    quit_evt = threading.Event()
+
+    def reader():
+        n = 0
+        while not quit_evt.is_set() and (args.max_frames < 0
+                                         or n < args.max_frames):
+            ret, frame = cap.read()
+            if not ret:
+                break
+            n += 1
+            q0.put(frame)
+        q0.put(None)
+
+    def worker(q_in, q_out, fn):
+        try:
+            while True:
+                item = q_in.get()
+                if item is None or quit_evt.is_set():
+                    break
+                q_out.put(fn(item))
+        except BaseException as exc:  # propagated by the main loop
+            q_out.put(exc)
+        finally:
+            q_out.put(None)
+
+    def stage1(frame):
+        return frame, estimator.detect_crops(frame, args.num_person)
+
+    def stage2(item):
+        frame, crops = item
+        if crops is None:
+            return frame, None
+        return frame, estimator.pose_from_crops(*crops)
+
+    threads = [threading.Thread(target=reader, daemon=True),
+               threading.Thread(target=worker, args=(q0, q1, stage1),
+                                daemon=True),
+               threading.Thread(target=worker, args=(q1, q2, stage2),
+                                daemon=True)]
+    for t in threads:
+        t.start()
+
+    n = 0
+    try:
+        while True:
+            item = q2.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            n += 1
+            frame, result = item
+            if not lift_and_place(frame, result) or should_stop():
+                quit_evt.set()
+                break
+    finally:
+        quit_evt.set()
+        # Unblock producers stuck on full queues, then drain.
+        for q in (q0, q1, q2):
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+        for t in threads:
+            t.join(timeout=5.0)
+    return n
 
 
 def run(args, estimator=None) -> np.ndarray:
@@ -86,17 +194,17 @@ def run(args, estimator=None) -> np.ndarray:
     height = int(round(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
 
     all_poses = []
-    n = 0
-    t0 = time.perf_counter()
-    while args.max_frames < 0 or n < args.max_frames:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        n += 1
+    stop = False
 
-        result = estimator.estimate_frame(frame, args.num_person)
+    def lift_and_place(frame, result):
+        """Per-frame tail: convert -> streaming lift -> realtime placement.
+
+        Shared verbatim by the sequential and pipelined loops; returns
+        False to request an early stop (display quit key).
+        """
+        nonlocal stop
         if result is None:
-            continue
+            return True
         preds, maxvals = result  # (M, 17, 2), (M, 17, 1)
 
         kpts = np.zeros((args.num_person, 17, 2), np.float32)
@@ -109,7 +217,7 @@ def run(args, estimator=None) -> np.ndarray:
         # streaming window keeps a fixed (num_person, ...) shape
         converted_k, converted_s = h36m_coco_kpts(kpts, scores)
         if not converted_k:
-            continue
+            return True
         frame_kpts = np.zeros((args.num_person, 17, 2), np.float32)
         frame_scores = np.zeros((args.num_person, 17), np.float32)
         nonzero = [p for p in range(args.num_person)
@@ -128,7 +236,24 @@ def run(args, estimator=None) -> np.ndarray:
             overlay = draw_keypoints(frame, frame_kpts, scores=frame_scores)
             cv2.imshow("gastx realtime", overlay)
             if cv2.waitKey(1) & 0xFF == ord("q"):
+                stop = True
+                return False
+        return True
+
+    n = 0
+    t0 = time.perf_counter()
+    if args.no_pipeline:
+        while args.max_frames < 0 or n < args.max_frames:
+            ret, frame = cap.read()
+            if not ret:
                 break
+            n += 1
+            result = estimator.estimate_frame(frame, args.num_person)
+            if not lift_and_place(frame, result):
+                break
+    else:
+        n = _pipelined_loop(cap, estimator, args, lift_and_place,
+                            lambda: stop)
     cap.release()
 
     fps = n / (time.perf_counter() - t0)

@@ -152,13 +152,18 @@ def box_to_center_scale(box, model_image_width: int,
 
 
 def preprocess_boxes(image: np.ndarray, bboxs: Sequence, image_size,
-                     num_pos: int = 2
+                     num_pos: int = 2, normalize: bool = True
                      ) -> Tuple[np.ndarray, List, List]:
     """Warp per-box crops to the model input and ImageNet-normalize.
 
     Returns (inputs (M, H, W, 3) NHWC float32, centers, scales). Mirrors
     PreProcess (utilitys.py:140-170) including its image-dims-as-model-dims
     call into box_to_center_scale.
+
+    ``normalize=False`` returns the raw uint8 crops instead: the
+    /255 + ImageNet mean/std affine then runs inside the HRNet jit
+    (gastx/pipeline/video_pose2d.py), so only a quarter of the bytes
+    cross the host->device boundary per crop.
     """
     import cv2
 
@@ -171,7 +176,8 @@ def preprocess_boxes(image: np.ndarray, bboxs: Sequence, image_size,
         patch = cv2.warpAffine(image, trans,
                                (int(image_size[0]), int(image_size[1])),
                                flags=cv2.INTER_LINEAR)
-        patch = patch.astype(np.float32) / 255.0
-        patch = (patch - IMAGENET_MEAN) / IMAGENET_STD
+        if normalize:
+            patch = patch.astype(np.float32) / 255.0
+            patch = (patch - IMAGENET_MEAN) / IMAGENET_STD
         inputs.append(patch)
     return np.stack(inputs), centers, scales

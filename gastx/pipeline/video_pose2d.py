@@ -54,6 +54,21 @@ class Pose2DEstimator:
         extra = self.extra
         self._hrnet = jax.jit(
             lambda p, x: hrnet_forward(p, x, extra))
+
+        # uint8-input variant: ships raw BGR crops (1/4 the bytes of the
+        # normalized f32 tensor) and runs /255 + ImageNet mean/std + the
+        # reference's normalize-then-BGR->RGB-swap quirk (gen_kpts.py:238)
+        # in-graph. Same f32 ops as the host path.
+        def _hrnet_from_u8(p, u8):
+            import jax.numpy as jnp
+
+            from gastx.pipeline.hrnet.transforms import (IMAGENET_MEAN,
+                                                         IMAGENET_STD)
+            x = (u8.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) \
+                / IMAGENET_STD
+            return hrnet_forward(p, x[..., ::-1], extra)
+
+        self._hrnet_u8 = jax.jit(_hrnet_from_u8)
         self.tracker = Sort()
         # TEST.FLIP_TEST / TEST.SHIFT_HEATMAP heatmap flip-TTA (reference
         # lib/pose/hrnet/lib/config/default.py:101-103 + utils/
@@ -66,7 +81,24 @@ class Pose2DEstimator:
     def estimate_frame(self, frame: np.ndarray, num_person: int = 1,
                        track: bool = True):
         """BGR frame -> (kpts (M, 17, 2), scores (M, 17, 1)) or None."""
-        from gastx.pipeline.hrnet import get_final_preds, preprocess_boxes
+        crops = self.detect_crops(frame, num_person, track=track)
+        if crops is None:
+            return None
+        return self.pose_from_crops(*crops)
+
+    def detect_crops(self, frame: np.ndarray, num_person: int = 1,
+                     track: bool = True):
+        """First pipeline half: YOLO detect -> SORT track -> affine crops.
+
+        Returns ``(inputs, centers, scales)`` ready for
+        :meth:`pose_from_crops`, or None when no person survives. Split
+        from :meth:`estimate_frame` so a pipelined host loop
+        (gastx/cli/realtime.py) can overlap this stage's device dispatch
+        with the HRNet and lifting dispatches of neighbouring frames.
+        NOTE: the SORT tracker state updates here, so calls must happen
+        in frame order.
+        """
+        from gastx.pipeline.hrnet import preprocess_boxes
 
         bboxs, det_scores = self.detector.detect(frame)
         if bboxs is None or not bboxs.any():
@@ -85,17 +117,29 @@ class Pose2DEstimator:
             boxes = bboxs[:num_person]
 
         track_boxes = [[round(float(v), 2) for v in box] for box in boxes]
+        # Raw uint8 BGR crops; normalization + the BGR->RGB-after-
+        # normalization quirk run inside the _hrnet_u8 jit.
         inputs, centers, scales = preprocess_boxes(
-            frame, track_boxes, self.image_size, num_person)
-        inputs = inputs[..., ::-1].copy()  # BGR->RGB after normalization
+            frame, track_boxes, self.image_size, num_person,
+            normalize=False)
+        return inputs, centers, scales
 
-        heatmaps = np.asarray(self._hrnet(self.hrnet_params, inputs))
+    def pose_from_crops(self, inputs, centers, scales):
+        """Second pipeline half: HRNet heatmaps -> decoded keypoints.
+
+        Stateless; takes :meth:`detect_crops` output (uint8 BGR crops)
+        and returns ``(preds (M, 17, 2), maxvals (M, 17, 1))``.
+        """
+        from gastx.pipeline.hrnet import get_final_preds
+
+        heatmaps = np.asarray(self._hrnet_u8(self.hrnet_params, inputs))
         heatmaps = np.transpose(heatmaps, (0, 3, 1, 2))  # NHWC -> NCHW
         if self.flip_test:
             from gastx.pipeline.hrnet import COCO_FLIP_PAIRS, flip_tta_merge
 
-            # Same jitted forward, width-mirrored crop (NHWC axis 2).
-            flipped = np.asarray(self._hrnet(
+            # Same jitted forward, width-mirrored uint8 crop (NHWC axis 2;
+            # mirror commutes with the per-pixel normalization).
+            flipped = np.asarray(self._hrnet_u8(
                 self.hrnet_params, inputs[:, :, ::-1, :].copy()))
             heatmaps = flip_tta_merge(
                 heatmaps, np.transpose(flipped, (0, 3, 1, 2)),

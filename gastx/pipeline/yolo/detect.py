@@ -123,19 +123,47 @@ class YoloHumanDetector:
         self.blocks = (parse_darknet_cfg(cfg_file) if cfg_file
                        else yolov3_blocks(inp_dim, inp_dim))
         self.params = load_darknet_weights(weight_file, self.blocks)
-        self._forward = jax.jit(make_yolo_forward(self.blocks, inp_dim))
+        self._yolo_fwd = make_yolo_forward(self.blocks, inp_dim)
+        self._forward = jax.jit(self._yolo_fwd)
+        # Single-dispatch detect: uint8 letterbox in, pre-filtered person
+        # candidates out. The host<->device payload drops from 2 MB f32 up
+        # + 3.6 MB raw predictions down (the measured per-frame cost on
+        # tunnelled hosts) to 0.5 MB up + ~0.3 MB down; the math is the
+        # same IEEE f32 ops filter_person_detections runs (x*0.5 is
+        # exact, so fusion cannot change the boxes bitwise).
+        self._detect_dev = jax.jit(self._device_detect)
+
+    def _device_detect(self, params, canvas_u8):
+        """(inp, inp, 3) BGR uint8 letterbox -> (N, 7) f32
+        [x1 y1 x2 y2 obj cls_score person_keep]."""
+        import jax.numpy as jnp
+
+        x = canvas_u8[..., ::-1].astype(jnp.float32) / 255.0
+        raw = self._yolo_fwd(params, x[None])[0]           # (N, 85)
+        obj = raw[:, 4]
+        cls = raw[:, 5:]
+        cls_idx = jnp.argmax(cls, axis=1)
+        cls_score = jnp.take_along_axis(cls, cls_idx[:, None], axis=1)[:, 0]
+        keep = (obj > self.confidence) & (cls_idx == PERSON_CLASS)
+        half_w, half_h = raw[:, 2] * 0.5, raw[:, 3] * 0.5
+        boxes = jnp.stack([raw[:, 0] - half_w, raw[:, 1] - half_h,
+                           raw[:, 0] + half_w, raw[:, 1] + half_h], axis=1)
+        return jnp.concatenate(
+            [boxes, obj[:, None], cls_score[:, None],
+             keep[:, None].astype(jnp.float32)], axis=1)
 
     def detect(self, frame: np.ndarray
                ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
         """``frame``: BGR uint8 (H, W, 3). Mirrors yolo_human_det's
         (bboxs, scores) contract (human_detector.py:106-157)."""
         h, w = frame.shape[:2]
-        x = prep_frame(frame, self.inp_dim)
-        raw = np.asarray(self._forward(self.params, x))[0]
-        dets = filter_person_detections(raw, self.confidence,
-                                        self.nms_threshold)
-        if dets is None or len(dets) == 0:
+        canvas = letterbox_image(frame, self.inp_dim)
+        out = np.asarray(self._detect_dev(self.params, canvas))
+        rows = out[out[:, 6] > 0.5]
+        if rows.shape[0] == 0:
             return None, None
+        keep = greedy_nms(rows[:, :4], rows[:, 4], self.nms_threshold)
+        dets = rows[keep][:, :6]
         dets = rescale_boxes(dets, self.inp_dim, w, h)
         bboxs = np.round(dets[:, :4].astype(np.float64), 2)
         scores = dets[:, 4:5]

@@ -177,13 +177,19 @@ def test_frame_loop_matches_reference_glue(tiny_models, tiny_video):
 
         ref_track_boxes = [[round(float(v), 2) for v in box]
                            for box in ref_boxes]
-        inputs, centers, scales = preprocess_boxes(
+        inputs_u8, centers, scales = preprocess_boxes(
+            frame, ref_track_boxes, [64, 96], num_person, normalize=False)
+        # Host-side normalized twin of the estimator's in-jit path, for
+        # the torch oracle below.
+        inputs, _, _ = preprocess_boxes(
             frame, ref_track_boxes, [64, 96], num_person)
         inputs_rgb = inputs[..., ::-1].copy()
 
         # (a) exact glue equality: same boxes -> same crops -> same decode
+        # (through the estimator's own uint8-input jit, like
+        # estimate_frame does)
         hm_jax = np.transpose(
-            np.asarray(est._hrnet(est.hrnet_params, inputs_rgb)),
+            np.asarray(est._hrnet_u8(est.hrnet_params, inputs_u8)),
             (0, 3, 1, 2))
         want_preds, want_vals = get_final_preds(
             hm_jax, np.asarray(centers), np.asarray(scales))

@@ -48,6 +48,12 @@ def parse_args(argv=None):
     parser.add_argument("-o", "--output-dir", type=str, default="./output")
     parser.add_argument("--random-lifter-weights", action="store_true",
                         help="random GAST-Net weights (pipeline smoke test)")
+    parser.add_argument("--det-batch", type=int, default=1,
+                        help="frames per batched 2D-pipeline dispatch "
+                             "(YOLO once + HRNet once per chunk, a large "
+                             "offline speedup; default 1 = the reference's "
+                             "per-frame loop, bit-exact to it — batched "
+                             "convs can differ in the last float bit)")
     return parser.parse_args(argv)
 
 
@@ -68,7 +74,8 @@ def generate_skeletons(args) -> np.ndarray:
 
     keypoints, scores = gen_video_kpts(
         args.video, args.yolo_weights, args.hrnet_weights,
-        num_person=args.num_person, yolo_cfg=args.yolo_cfg)
+        num_person=args.num_person, yolo_cfg=args.yolo_cfg,
+        batch_size=getattr(args, "det_batch", 1))
 
     h36m_kpts, h36m_scores, valid_frames = h36m_coco_format(keypoints,
                                                             scores)

@@ -98,9 +98,16 @@ class Pose2DEstimator:
         NOTE: the SORT tracker state updates here, so calls must happen
         in frame order.
         """
+        bboxs, det_scores = self.detector.detect(frame)
+        return self._select_and_crop(frame, bboxs, det_scores, num_person,
+                                     track)
+
+    def _select_and_crop(self, frame, bboxs, det_scores, num_person,
+                         track):
+        """Host half of the detect stage: SORT update + box selection +
+        affine crops, from already-computed detections."""
         from gastx.pipeline.hrnet import preprocess_boxes
 
-        bboxs, det_scores = self.detector.detect(frame)
         if bboxs is None or not bboxs.any():
             return None
 
@@ -123,6 +130,73 @@ class Pose2DEstimator:
             frame, track_boxes, self.image_size, num_person,
             normalize=False)
         return inputs, centers, scales
+
+    def estimate_batch(self, frames, num_person: int = 1,
+                       valid: Optional[int] = None):
+        """Batched offline 2D: a chunk of frames -> per-frame results.
+
+        Two device dispatches for the WHOLE chunk (three with flip-TTA):
+        batched YOLO detect over the stacked letterboxes, then batched
+        HRNet over every surviving crop (zero-padded to a fixed
+        ``len(frames) * num_person`` so the compiled shape is stable).
+        SORT updates run per frame in order between the two, exactly as
+        the sequential loop. Same math as ``estimate_frame`` per frame —
+        only the batch axis changes.
+
+        ``valid`` (default all): number of leading frames that are real —
+        trailing pad frames (a caller repeating the last frame to keep
+        one compiled chunk shape) are detected in-batch but never touch
+        the tracker or the output.
+
+        Returns a list (``valid`` entries) of ``(preds, maxvals)`` or
+        None.
+        """
+        from gastx.pipeline.hrnet import get_final_preds
+
+        if valid is None:
+            valid = len(frames)
+        detections = self.detector.detect_batch(frames)
+        crops = [self._select_and_crop(frame, bboxs, det_scores,
+                                       num_person, True)
+                 for frame, (bboxs, det_scores)
+                 in zip(frames[:valid], detections[:valid])]
+
+        sizes = [0 if c is None else c[0].shape[0] for c in crops]
+        total = sum(sizes)
+        if total == 0:
+            return [None] * valid
+
+        batch = np.zeros((len(frames) * num_person,) +
+                         next(c for c in crops if c is not None)[0].shape[1:],
+                         np.uint8)
+        off = 0
+        for c, m in zip(crops, sizes):
+            if m:
+                batch[off:off + m] = c[0]
+            off += m
+        heatmaps = np.asarray(self._hrnet_u8(self.hrnet_params, batch))
+        heatmaps = np.transpose(heatmaps, (0, 3, 1, 2))
+        if self.flip_test:
+            from gastx.pipeline.hrnet import COCO_FLIP_PAIRS, flip_tta_merge
+
+            flipped = np.asarray(self._hrnet_u8(
+                self.hrnet_params, batch[:, :, ::-1, :].copy()))
+            heatmaps = flip_tta_merge(
+                heatmaps, np.transpose(flipped, (0, 3, 1, 2)),
+                COCO_FLIP_PAIRS, shift_heatmap=self.shift_heatmap)
+
+        results, off = [], 0
+        for c, m in zip(crops, sizes):
+            if c is None:
+                results.append(None)
+                continue
+            _, centers, scales = c
+            preds, maxvals = get_final_preds(
+                heatmaps[off:off + m], np.asarray(centers),
+                np.asarray(scales))
+            results.append((preds, maxvals))
+            off += m
+        return results
 
     def pose_from_crops(self, inputs, centers, scales):
         """Second pipeline half: HRNet heatmaps -> decoded keypoints.
@@ -153,11 +227,22 @@ def gen_video_kpts(video: str, yolo_weights: str, hrnet_weights: str,
                    det_dim: int = 416, num_person: int = 1,
                    yolo_cfg: Optional[str] = None,
                    progress: bool = True,
-                   estimator: Optional[Pose2DEstimator] = None
+                   estimator: Optional[Pose2DEstimator] = None,
+                   batch_size: int = 1
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Run the full 2D pipeline over a video. Returns ((M, T, 17, 2) kpts,
     (M, T, 17) scores). Pass ``estimator`` to reuse loaded models (or to
-    inject reduced ones in tests)."""
+    inject reduced ones in tests).
+
+    ``batch_size > 1`` switches to the batched offline mode
+    (``Pose2DEstimator.estimate_batch``): YOLO runs once per
+    ``batch_size``-frame chunk and HRNet once over the chunk's crops,
+    instead of one dispatch each per frame — same per-frame math and
+    tracker evolution, far fewer device round-trips (the chunked clip is
+    padded by repeating the last frame so only one shape is compiled;
+    the padding frames' detections are discarded before they reach the
+    tracker).
+    """
     import cv2
 
     if estimator is None:
@@ -177,21 +262,47 @@ def gen_video_kpts(video: str, yolo_weights: str, hrnet_weights: str,
 
     kpts_result: List[np.ndarray] = []
     scores_result: List[np.ndarray] = []
-    for _ in frames:
-        ret, frame = cap.read()
-        if not ret:
-            continue
-        result = estimator.estimate_frame(frame, num_person)
-        if result is None:
-            continue
-        preds, maxvals = result
 
+    def append_result(result):
+        if result is None:
+            return
+        preds, maxvals = result
         kpts = np.zeros((num_person, 17, 2), dtype=np.float32)
         scores = np.zeros((num_person, 17), dtype=np.float32)
         kpts[:len(preds)] = preds[:num_person]
         scores[:len(maxvals)] = maxvals[:num_person, :, 0]
         kpts_result.append(kpts)
         scores_result.append(scores)
+
+    if batch_size > 1:
+        it = iter(frames)
+        done = False
+        while not done:
+            chunk = []
+            for _ in range(batch_size):
+                try:
+                    next(it)
+                except StopIteration:
+                    done = True
+                    break
+                ret, frame = cap.read()
+                if not ret:
+                    continue
+                chunk.append(frame)
+            if not chunk:
+                continue
+            real = len(chunk)
+            # Repeat the last frame up to batch_size: one compiled shape.
+            chunk = chunk + [chunk[-1]] * (batch_size - real)
+            for result in estimator.estimate_batch(chunk, num_person,
+                                                   valid=real):
+                append_result(result)
+    else:
+        for _ in frames:
+            ret, frame = cap.read()
+            if not ret:
+                continue
+            append_result(estimator.estimate_frame(frame, num_person))
     cap.release()
 
     keypoints = np.array(kpts_result).transpose(1, 0, 2, 3)  # (M, T, 17, 2)

@@ -132,25 +132,52 @@ class YoloHumanDetector:
         # same IEEE f32 ops filter_person_detections runs (x*0.5 is
         # exact, so fusion cannot change the boxes bitwise).
         self._detect_dev = jax.jit(self._device_detect)
+        self._detect_dev_batch = jax.jit(self._device_detect_batch)
+
+    def _device_filter(self, raw):
+        """(..., N, 85) decoded predictions -> (..., N, 7) f32
+        [x1 y1 x2 y2 obj cls_score person_keep]; the in-graph half of
+        filter_person_detections (same IEEE f32 ops)."""
+        import jax.numpy as jnp
+
+        obj = raw[..., 4]
+        cls = raw[..., 5:]
+        cls_idx = jnp.argmax(cls, axis=-1)
+        cls_score = jnp.take_along_axis(cls, cls_idx[..., None],
+                                        axis=-1)[..., 0]
+        keep = (obj > self.confidence) & (cls_idx == PERSON_CLASS)
+        half_w, half_h = raw[..., 2] * 0.5, raw[..., 3] * 0.5
+        boxes = jnp.stack([raw[..., 0] - half_w, raw[..., 1] - half_h,
+                           raw[..., 0] + half_w, raw[..., 1] + half_h],
+                          axis=-1)
+        return jnp.concatenate(
+            [boxes, obj[..., None], cls_score[..., None],
+             keep[..., None].astype(jnp.float32)], axis=-1)
 
     def _device_detect(self, params, canvas_u8):
-        """(inp, inp, 3) BGR uint8 letterbox -> (N, 7) f32
-        [x1 y1 x2 y2 obj cls_score person_keep]."""
+        """(inp, inp, 3) BGR uint8 letterbox -> (N, 7)."""
         import jax.numpy as jnp
 
         x = canvas_u8[..., ::-1].astype(jnp.float32) / 255.0
-        raw = self._yolo_fwd(params, x[None])[0]           # (N, 85)
-        obj = raw[:, 4]
-        cls = raw[:, 5:]
-        cls_idx = jnp.argmax(cls, axis=1)
-        cls_score = jnp.take_along_axis(cls, cls_idx[:, None], axis=1)[:, 0]
-        keep = (obj > self.confidence) & (cls_idx == PERSON_CLASS)
-        half_w, half_h = raw[:, 2] * 0.5, raw[:, 3] * 0.5
-        boxes = jnp.stack([raw[:, 0] - half_w, raw[:, 1] - half_h,
-                           raw[:, 0] + half_w, raw[:, 1] + half_h], axis=1)
-        return jnp.concatenate(
-            [boxes, obj[:, None], cls_score[:, None],
-             keep[:, None].astype(jnp.float32)], axis=1)
+        return self._device_filter(self._yolo_fwd(params, x[None])[0])
+
+    def _device_detect_batch(self, params, canvases_u8):
+        """(B, inp, inp, 3) BGR uint8 letterboxes -> (B, N, 7)."""
+        import jax.numpy as jnp
+
+        x = canvases_u8[..., ::-1].astype(jnp.float32) / 255.0
+        return self._device_filter(self._yolo_fwd(params, x))
+
+    def _host_filter(self, out, w: int, h: int):
+        """(N, 7) device output -> detect()'s (bboxs, scores) contract."""
+        rows = out[out[:, 6] > 0.5]
+        if rows.shape[0] == 0:
+            return None, None
+        keep = greedy_nms(rows[:, :4], rows[:, 4], self.nms_threshold)
+        dets = rescale_boxes(rows[keep][:, :6], self.inp_dim, w, h)
+        bboxs = np.round(dets[:, :4].astype(np.float64), 2)
+        scores = dets[:, 4:5]
+        return bboxs, scores
 
     def detect(self, frame: np.ndarray
                ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
@@ -159,12 +186,16 @@ class YoloHumanDetector:
         h, w = frame.shape[:2]
         canvas = letterbox_image(frame, self.inp_dim)
         out = np.asarray(self._detect_dev(self.params, canvas))
-        rows = out[out[:, 6] > 0.5]
-        if rows.shape[0] == 0:
-            return None, None
-        keep = greedy_nms(rows[:, :4], rows[:, 4], self.nms_threshold)
-        dets = rows[keep][:, :6]
-        dets = rescale_boxes(dets, self.inp_dim, w, h)
-        bboxs = np.round(dets[:, :4].astype(np.float64), 2)
-        scores = dets[:, 4:5]
-        return bboxs, scores
+        return self._host_filter(out, w, h)
+
+    def detect_batch(self, frames):
+        """Batched detect over a chunk of frames — ONE device dispatch
+        for the whole chunk (offline throughput mode; amortizes the
+        per-dispatch cost the per-frame realtime loop pays per frame).
+        Returns a list of per-frame ``detect()`` results.
+        """
+        canvases = np.stack([letterbox_image(f, self.inp_dim)
+                             for f in frames])
+        out = np.asarray(self._detect_dev_batch(self.params, canvases))
+        return [self._host_filter(out[b], f.shape[1], f.shape[0])
+                for b, f in enumerate(frames)]

@@ -251,3 +251,34 @@ def test_estimator_flip_tta_path(tiny_models, tiny_video):
         image_size=(64, 96), confidence=0.5, hrnet_spec=TINY_EXTRA)
     plain, _ = est_plain.estimate_frame(frame, num_person=1)
     assert not np.allclose(preds, plain)
+
+
+@requires_reference
+def test_gen_video_kpts_batched_matches_per_frame(tiny_models, tiny_video):
+    """The batched offline mode (batch_size > 1: one YOLO dispatch per
+    chunk, one HRNet dispatch per chunk's crops) must reproduce the
+    per-frame loop exactly — same detections feed the same tracker in
+    the same order, pad frames discarded. batch_size=3 over t=8 frames
+    exercises a full chunk, a chunk boundary, and the repeated-last-frame
+    padding of the final partial chunk."""
+    from gastx.pipeline.video_pose2d import gen_video_kpts
+
+    path, w, h, t = tiny_video
+    est_seq = _make_estimator(tiny_models)
+    kpts_seq, scores_seq = gen_video_kpts(
+        path, "unused", "unused", num_person=2, progress=False,
+        estimator=est_seq)
+
+    est_bat = _make_estimator(tiny_models)
+    kpts_bat, scores_bat = gen_video_kpts(
+        path, "unused", "unused", num_person=2, progress=False,
+        estimator=est_bat, batch_size=3)
+
+    # Batched convs round differently in the last bit (measured 1-ulp
+    # heatmap deltas), so scores carry ~1e-7 noise and a quarter-pixel
+    # decode shift could flip on an exact tie — glue bugs (ordering,
+    # tracker divergence, pad-frame leakage) show up as whole-box errors,
+    # far above these tolerances.
+    assert kpts_seq.shape == kpts_bat.shape
+    np.testing.assert_allclose(kpts_seq, kpts_bat, atol=2.0)
+    np.testing.assert_allclose(scores_seq, scores_bat, atol=1e-5)

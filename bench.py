@@ -130,8 +130,8 @@ def measure_gastx(batch: int = 1024, iters: int = 30) -> float:
     from gastx.models import config_for_frames, gastnet_forward, init_gastnet
 
     # The production inference config: "high" matmuls with the measured
-    # mixed-precision overrides (max 0.093mm over 8 seeds, budget 0.1mm —
-    # see gastx/models/config.py TPU_MIXED_PRECISION_OVERRIDES table).
+    # mixed-precision overrides (max 0.0631mm over 24 seeds, budget 0.1mm
+    # — see gastx/models/config.py TPU_MIXED_PRECISION_OVERRIDES table).
     cfg = config_for_frames(27, dropout=0.05)
     params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
 

@@ -73,7 +73,7 @@ class GastNetConfig:
     # bf16 storage halves HBM bytes — the roofline's binding term — and
     # was measured on-chip (r3, scripts/perf_lab8.py) per architecture:
     #   27f/ch128: 17.9k seq/s but 0.26mm worst seed — OVER the 0.1mm
-    #              budget; stays f32 (the fused-kernel mixed path, 14.4k).
+    #              budget; stays f32 (the fused-kernel mixed path, 14.1k).
     #   81f/ch64:  4,317 vs 3,299 seq/s (+31%) at 0.087mm worst of 8 — the
     #              production default via config_for_frames ("auto").
     #   243f/ch32: 1,131 vs 894 seq/s (+26%) at 0.030mm — also default;
@@ -87,10 +87,10 @@ class GastNetConfig:
     # C <= 256, the two-kernel split form for C <= 512 (the widest level
     # of every shipped config) — or "auto" (= "pallas" on TPU backends,
     # "xla" elsewhere; the config_for_frames inference default). Measured
-    # on-chip r3: +8% end-to-end (14,441 vs 13,377 seq/s at B=1024/27f)
-    # at 0.081mm worst-seed error vs all-"highest" (the kernels' exact-f32
-    # local aggregation beats the XLA mixed path's 0.093mm). Training
-    # steps always take the XLA path.
+    # on-chip r3c under the certified preset: +14% end-to-end (14,074 vs
+    # 12,299 seq/s at B=1024/27f) at 0.0631mm worst of 24 seeds vs
+    # all-"highest" (the kernels' exact-f32 local aggregation beats the
+    # XLA mixed path's 0.0729mm). Training steps always take the XLA path.
     gab_impl: str = "xla"
 
     def precision_for(self, op_class: str):
@@ -165,38 +165,48 @@ class GastNetConfig:
 
 
 # Measured per-op-class mixed-precision presets (v5e, B=1024, 27f/17j,
-# scripts/perf_lab{2,3}.py + 8-seed robustness sweeps, 2026-08-16). Errors
-# are max |delta| vs the matmul_precision="highest" forward over random
-# weight/input draws; the parity budget is 0.1 mm end-to-end.
+# scripts/perf_lab{2,3,13}.py; 2026-08-16/17). Errors are max |delta| vs
+# the matmul_precision="highest" forward over random weight/input draws;
+# the parity budget is 0.1 mm end-to-end.
 #
-#   preset              seq/s   max err (8 seeds)   note
+#   preset              seq/s   max err             note
 #   all "high"          10643   0.0013 mm           training / bit-studies
-#   TPU_MIXED_SAFE      12314   0.055 mm (4 seeds)  conservative inference
-#   TPU_MIXED (below)   13373   0.093 mm            inference default
-#   + attn_proj default 14002   0.124 mm            REJECTED: over budget
-#   all "default"       15642   0.16 mm             REJECTED: over budget
+#   TPU_MIXED (below)   14074   0.0631 mm (24 seed) inference default (fused kernels)
+#   + attn_cat default  14441   0.1088 mm (24 seed) REJECTED r3: tail over budget
+#   + attn_proj default 14002   0.124 mm  (8 seed)  REJECTED: over budget
+#   all "default"       15642   0.16 mm   (8 seed)  REJECTED: over budget
+#
+# r3 tail re-certification (scripts/perf_lab13.py): the original 6-op
+# preset (incl. attn_cat) measured 0.093 mm worst of 8 seeds but 0.1088 mm
+# at 24 seeds (seed 17; the XLA path shows the same 0.1065 mm tail, so the
+# preset — not the kernels — carried it). A canary sweep over single-op
+# promotions found attn_cat->"high" the decisive fix (worst-2-seeds
+# 0.1088 -> 0.0463 mm) at -2.5% throughput; re-certified 0.0631 mm worst
+# of 24 seeds through the production fused-kernel path. attn_cat's 3C->2C
+# contraction is the widest "default"-tier dot in the block (3C=384 at
+# ch128), which is why it owns the tail.
 #
 # The ceiling is structural: x_convs / x_gabcat / each gab level at
 # "default" individually measure 0.11-0.20 mm (perf_lab2), so no
-# precision-mixing config faster than TPU_MIXED+attn_proj can stay within
-# the budget — further speed must come from layout/kernel work, not
-# precision.
+# precision-mixing config faster than this can stay within the budget —
+# further speed must come from layout/kernel work, not precision.
 #
 # The preset also holds on the deeper shipped architectures (measured
-# on-chip, scripts/perf_lab6.py, worst of 4 seeds vs all-"highest"):
-# 81f/ch64 0.023 mm, 243f/ch32 0.011 mm — shallower channel widths shorten
-# the bf16 dot accumulations, so the 27f/ch128 0.093 mm figure is the
-# binding one.
+# on-chip, scripts/perf_lab6.py with the pre-r3 6-op preset, worst of 4
+# seeds vs all-"highest"): 81f/ch64 0.023 mm, 243f/ch32 0.011 mm —
+# shallower channel widths shorten the bf16 dot accumulations, so the
+# 27f/ch128 figure is the binding one (promoting attn_cat only tightens
+# these).
 TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
-    ("local_sem", "default"), ("local_off", "default"),
-    ("local_cat", "default"), ("attn_score", "default"),
-    ("attn_apply", "default"), ("attn_cat", "default"),
-)
-TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = (
     ("local_sem", "default"), ("local_off", "default"),
     ("local_cat", "default"), ("attn_score", "default"),
     ("attn_apply", "default"),
 )
+# Historical name: the r2 "conservative" preset. Since the r3 24-seed
+# re-certification promoted attn_cat to "high", the production preset IS
+# the safe preset — kept as an alias for API compatibility.
+TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = (
+    TPU_MIXED_PRECISION_OVERRIDES)
 
 
 class GraphStatics(NamedTuple):
@@ -230,9 +240,9 @@ def config_for_frames(
 
     This is the *inference* entry point (reconstruct/realtime/gen_skes
     CLIs), so it defaults to the measured mixed-precision preset
-    (max 0.093 mm over 8 seeds — see TPU_MIXED_PRECISION_OVERRIDES) and,
+    (max 0.0631 mm over 24 seeds — see TPU_MIXED_PRECISION_OVERRIDES) and,
     on TPU backends, the fused graph-attention-block kernels
-    (``gab_impl="auto"``: measured +8% at 0.081 mm worst seed, r3). Pass
+    (``gab_impl="auto"``: 14,074 seq/s at B=1024/27f, r3). Pass
     ``precision_overrides=()`` + ``gab_impl="xla"`` for the all-"high"
     bit-study mode; training builds GastNetConfig directly and stays
     all-"high"/XLA.

@@ -341,8 +341,9 @@ def graph_attention_block(
 
     ``gab_impl="auto"`` resolves to "pallas" on a TPU backend and "xla"
     elsewhere (the kernels have no CPU lowering outside interpret mode) —
-    the production inference default: measured +8% end-to-end
-    (14,441 vs 13,377 seq/s) at 0.081mm worst-seed error (r3, DESIGN.md).
+    the production inference default: measured +14% end-to-end
+    (14,074 vs 12,299 seq/s) at 0.0631mm worst of 24 seeds under the
+    r3c-certified preset (DESIGN.md).
     """
     if gab_impl == "auto":
         # Measured routing (r3, perf_lab7/8/11): f32 activations win with

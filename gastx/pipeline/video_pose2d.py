@@ -99,13 +99,19 @@ class Pose2DEstimator:
         in frame order.
         """
         bboxs, det_scores = self.detector.detect(frame)
-        return self._select_and_crop(frame, bboxs, det_scores, num_person,
-                                     track)
+        return self.crops_from_detections(frame, bboxs, det_scores,
+                                          num_person, track)
 
-    def _select_and_crop(self, frame, bboxs, det_scores, num_person,
-                         track):
+    def crops_from_detections(self, frame, bboxs, det_scores, num_person,
+                              track):
         """Host half of the detect stage: SORT update + box selection +
-        affine crops, from already-computed detections."""
+        affine crops, from already-computed detections.
+
+        Public split point: the device half (``self.detector.detect``) is
+        stateless and order-free, so pipelined hosts (gastx/cli/realtime.py
+        pooled detect stage, :meth:`estimate_batch`) run it concurrently /
+        batched and feed this ordered, tracker-owning half in frame
+        order."""
         from gastx.pipeline.hrnet import preprocess_boxes
 
         if bboxs is None or not bboxs.any():
@@ -156,8 +162,8 @@ class Pose2DEstimator:
         if valid is None:
             valid = len(frames)
         detections = self.detector.detect_batch(frames)
-        crops = [self._select_and_crop(frame, bboxs, det_scores,
-                                       num_person, True)
+        crops = [self.crops_from_detections(frame, bboxs, det_scores,
+                                            num_person, True)
                  for frame, (bboxs, det_scores)
                  in zip(frames[:valid], detections[:valid])]
 

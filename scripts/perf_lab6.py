@@ -1,8 +1,10 @@
 """Perf lab 6: does the TPU_MIXED inference preset stay within the 0.1mm
 budget at 81 and 243 frames?
 
-The 0.093mm/8-seed measurement behind TPU_MIXED_PRECISION_OVERRIDES
-(gastx/models/config.py) was taken on the 27f/ch128 architecture, but
+The 0.093mm/8-seed measurement behind the original TPU_MIXED preset
+(gastx/models/config.py; superseded r3c — perf_lab13 deepened it to 24
+seeds, found a 0.1088mm tail, and promoted attn_cat to "high") was taken
+on the 27f/ch128 architecture, but
 config_for_frames applies the preset to the 81f/ch64 and 243f/ch32
 architectures too. Precision tiers are CPU no-ops, so only an on-chip
 measurement can validate those. Error metric matches perf_lab2/3: max

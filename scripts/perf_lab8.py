@@ -121,8 +121,18 @@ def main():
     if "--err-81-deep" in sys.argv:
         # 24-seed margin check for the 81f bf16 default (worst of 8 was
         # 0.0904 of the 0.1 budget — the thinnest adopted margin).
+        # Measured 2026-08-17: worst of 24 = 0.0995 mm — holds, razor-thin
+        # (recorded in DESIGN.md; the adoption stands because the tier is
+        # a documented opt-out via storage_dtype="float32").
         SEEDS = 24
         run_frames(81, [])
+        return
+    if "--err-243-deep" in sys.argv:
+        # Same 24-seed margin check for the 243f bf16 default.
+        # Measured 2026-08-17: worst of 24 = 0.0335 mm — wide margin, the
+        # 8-seed worst was already the 24-seed worst.
+        SEEDS = 24
+        run_frames(243, [])
         return
     run_frames(27, [(1024, "bf16")])
     run_frames(81, [(1024, "bf16")])

@@ -1,8 +1,8 @@
 """Config-surface tests: the shipped frames->architecture table and the
 measured mixed-precision override plumbing (gastx/models/config.py).
 
-The override *numbers* (13.4k seq/s @ max 0.093mm over 8 seeds) are
-TPU-measured in scripts/perf_lab2/3.py; on the CPU backend every precision
+The override *numbers* (14.1k seq/s @ max 0.0631mm over 24 seeds, r3c) are
+TPU-measured in scripts/perf_lab2/3/13.py; on the CPU backend every precision
 tier computes plain fp32, so here we pin the plumbing: the inference entry
 carries the preset, resolution order is level-qualified > bare class >
 inherit, and the mixed forward is numerically identical to all-"high" on
@@ -43,9 +43,12 @@ def test_inference_entry_carries_mixed_preset():
         == ()
     # Training configs built directly stay all-"high" (no overrides).
     assert GastNetConfig().precision_overrides == ()
-    # The safe preset is the mixed one minus attn_cat.
-    assert set(TPU_MIXED_SAFE_OVERRIDES) == \
-        set(TPU_MIXED_PRECISION_OVERRIDES) - {("attn_cat", "default")}
+    # Since the r3 24-seed re-certification promoted attn_cat to "high"
+    # (perf_lab13: the 6-op preset's tail measured 0.1088 mm at 24 seeds),
+    # the production preset IS the historical safe preset, and attn_cat
+    # must never reappear at the "default" tier.
+    assert TPU_MIXED_SAFE_OVERRIDES == TPU_MIXED_PRECISION_OVERRIDES
+    assert ("attn_cat", "default") not in TPU_MIXED_PRECISION_OVERRIDES
 
 
 def test_precision_for_resolution():

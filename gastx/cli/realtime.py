@@ -48,12 +48,19 @@ def parse_args(argv=None):
                              "pipelined default overlaps the detect / "
                              "2D-pose / lift device dispatches of "
                              "neighbouring frames; outputs are identical)")
+    parser.add_argument("--pool-workers", type=int, default=2,
+                        help="worker threads for the stateless pipeline "
+                             "stages (device detect, HRNet 2D): "
+                             "neighbouring frames' dispatches of the SAME "
+                             "stage overlap; 1 = one thread per stage. "
+                             "Outputs are identical either way")
     return parser.parse_args(argv)
 
 
-def _pipelined_loop(cap, estimator, args, lift_and_place, should_stop,
-                    depth: int = 4) -> int:
-    """Three-stage software pipeline over frames.
+def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
+                    should_stop, depth: int = 4,
+                    pool_workers: int = 2) -> int:
+    """Software-pipelined frame loop with pooled stateless stages.
 
     Per frame the host loop performs three device dispatches — YOLO
     detect, HRNet 2D pose, causal streaming lift — each costing a fixed
@@ -61,89 +68,197 @@ def _pipelined_loop(cap, estimator, args, lift_and_place, should_stop,
     sequentially they serialize (the measured 5.8 fps floor of
     scripts/perf_lab9.py); pipelined across NEIGHBOURING frames the
     round-trips overlap, so steady-state throughput approaches the
-    slowest single stage instead of the sum.
+    slowest single stage instead of the sum. The slowest stage is the
+    detect dispatch (~2 tunnel RTTs), and its device half is STATELESS —
+    only the SORT update needs frame order — so it additionally runs on a
+    ``pool_workers``-wide thread pool whose deliverer releases results in
+    sequence order; the HRNet stage (also stateless) is pooled the same
+    way. Pooling overlaps the same stage's round-trips for NEIGHBOURING
+    frames on top of the cross-stage overlap.
 
-    Stages (one worker thread each, FIFO queues of ``depth``):
+    Stages (FIFO queues of ``depth``; every queue item is ``(seq,
+    payload)`` and a ``STOP`` payload flushes the pipe):
 
-      reader:  cap.read                              -> q0
-      stage 1: detect + SORT track + affine crops    -> q1   (ordered:
-               owns the tracker state)
-      stage 2: HRNet heatmaps + decode               -> q2
-      main:    convert + streaming lift + placement  (ordered: owns the
-               lifter window state; runs ``lift_and_place``)
+      reader:      cap.read                      (ordered tagger)
+      device det:  letterbox + YOLO dispatch     (POOLED, ordered delivery)
+      track:       SORT update + affine crops    (ordered: owns tracker)
+      hrnet:       HRNet heatmaps + decode       (POOLED, ordered delivery)
+      main:        convert + stream-lift + place (ordered: owns the
+                   lifter window state; ``lift_submit`` dispatches the
+                   lift async and ``lift_finish`` of the PREVIOUS frame
+                   fetches/places while it is in flight — a 1-deep
+                   software pipeline inside the main stage)
 
-    Every stage processes frames strictly in order, so tracker and
-    streaming-lifter state evolve exactly as in the sequential loop and
-    the output npz is bit-identical (tests/test_realtime_cli.py asserts
-    it).
-    Exceptions propagate to the caller; the sentinel ``None`` flushes
-    the pipe.
+    The pooled split needs the estimator's device/host detect split
+    (``.detector.detect`` + ``.crops_from_detections``); estimators
+    without it (reduced test stubs) fall back to an ordered
+    ``detect_crops`` stage. Every stateful stage processes frames
+    strictly in order, so tracker and streaming-lifter state evolve
+    exactly as in the sequential loop and the output npz is bit-identical
+    (tests/test_realtime_cli.py + the deep-split parity test in
+    tests/test_video_pipeline_e2e.py assert it). Exceptions ride the
+    queues tagged with their frame and re-raise in the caller, in order.
     """
     import queue
     import threading
 
-    q0 = queue.Queue(maxsize=depth)
-    q1 = queue.Queue(maxsize=depth)
-    q2 = queue.Queue(maxsize=depth)
+    STOP = object()
     quit_evt = threading.Event()
+    queues = []
 
-    def reader():
+    def make_queue():
+        q = queue.Queue(maxsize=depth)
+        queues.append(q)
+        return q
+
+    def reader(q_out):
         n = 0
         while not quit_evt.is_set() and (args.max_frames < 0
                                          or n < args.max_frames):
             ret, frame = cap.read()
             if not ret:
                 break
+            q_out.put((n, frame))
             n += 1
-            q0.put(frame)
-        q0.put(None)
+        q_out.put((n, STOP))
 
-    def worker(q_in, q_out, fn):
-        try:
-            while True:
-                item = q_in.get()
-                if item is None or quit_evt.is_set():
-                    break
-                q_out.put(fn(item))
-        except BaseException as exc:  # propagated by the main loop
-            q_out.put(exc)
-        finally:
-            q_out.put(None)
+    def ordered_stage(q_in, q_out, fn):
+        """One worker, FIFO in == FIFO out; exceptions pass through."""
+        while not quit_evt.is_set():
+            seq, item = q_in.get()
+            if item is STOP:
+                q_out.put((seq, STOP))
+                return
+            if isinstance(item, BaseException):
+                q_out.put((seq, item))
+                continue
+            try:
+                q_out.put((seq, fn(item)))
+            except BaseException as exc:
+                q_out.put((seq, exc))
 
-    def stage1(frame):
-        return frame, estimator.detect_crops(frame, args.num_person)
+    def pooled_stage(q_in, q_out, fn, workers):
+        """``workers`` concurrent appliers of a STATELESS ``fn`` plus a
+        deliverer that releases results in sequence order — downstream
+        stateful stages see exactly the sequential stream."""
+        cond = threading.Condition()
+        buf = {}
 
-    def stage2(item):
+        def work():
+            while not quit_evt.is_set():
+                seq, item = q_in.get()
+                if item is STOP:
+                    q_in.put((seq, STOP))  # wake the peer workers
+                    with cond:
+                        buf[seq] = STOP
+                        cond.notify_all()
+                    return
+                if isinstance(item, BaseException):
+                    res = item
+                else:
+                    try:
+                        res = fn(item)
+                    except BaseException as exc:
+                        res = exc
+                with cond:
+                    buf[seq] = res
+                    cond.notify_all()
+
+        def deliver():
+            want = 0
+            while not quit_evt.is_set():
+                with cond:
+                    while want not in buf and not quit_evt.is_set():
+                        cond.wait(0.2)
+                    res = buf.pop(want, None)
+                if res is None:  # quit_evt path
+                    return
+                q_out.put((want, res))
+                if res is STOP:
+                    return
+                want += 1
+
+        return [threading.Thread(target=work, daemon=True)
+                for _ in range(workers)] \
+            + [threading.Thread(target=deliver, daemon=True)]
+
+    q0 = make_queue()
+    q_crops = make_queue()
+    q_pose = make_queue()
+    threads = [threading.Thread(target=reader, args=(q0,), daemon=True)]
+
+    deep_split = pool_workers > 1 and hasattr(estimator, "detector") \
+        and hasattr(estimator, "crops_from_detections")
+    if deep_split:
+        q_dets = make_queue()
+        threads += pooled_stage(
+            q0, q_dets,
+            lambda frame: (frame, estimator.detector.detect(frame)),
+            pool_workers)
+
+        def track_stage(item):
+            frame, (bboxs, det_scores) = item
+            return frame, estimator.crops_from_detections(
+                frame, bboxs, det_scores, args.num_person, True)
+
+        threads.append(threading.Thread(
+            target=ordered_stage, args=(q_dets, q_crops, track_stage),
+            daemon=True))
+    else:
+        threads.append(threading.Thread(
+            target=ordered_stage,
+            args=(q0, q_crops,
+                  lambda frame: (frame, estimator.detect_crops(
+                      frame, args.num_person))),
+            daemon=True))
+
+    def hrnet_stage(item):
         frame, crops = item
         if crops is None:
             return frame, None
         return frame, estimator.pose_from_crops(*crops)
 
-    threads = [threading.Thread(target=reader, daemon=True),
-               threading.Thread(target=worker, args=(q0, q1, stage1),
-                                daemon=True),
-               threading.Thread(target=worker, args=(q1, q2, stage2),
-                                daemon=True)]
+    if pool_workers > 1:
+        threads += pooled_stage(q_crops, q_pose, hrnet_stage, pool_workers)
+    else:
+        threads.append(threading.Thread(
+            target=ordered_stage, args=(q_crops, q_pose, hrnet_stage),
+            daemon=True))
+
     for t in threads:
         t.start()
 
     n = 0
+    pending = None
     try:
         while True:
-            item = q2.get()
-            if item is None:
+            _, item = q_pose.get()
+            if item is STOP:
                 break
             if isinstance(item, BaseException):
                 raise item
             n += 1
             frame, result = item
-            if not lift_and_place(frame, result) or should_stop():
+            # Submit this frame's lift before finishing the previous
+            # frame: the new dispatch's round-trip overlaps the fetch.
+            submitted = lift_submit(frame, result)
+            if pending is not None and not lift_finish(pending):
+                # Early display-quit: drop the in-flight frame, like the
+                # sequential loop (which never submits it).
+                pending = None
                 quit_evt.set()
                 break
+            pending = submitted
+            if should_stop():
+                quit_evt.set()
+                break
+        if pending is not None:
+            lift_finish(pending)
+            pending = None
     finally:
         quit_evt.set()
         # Unblock producers stuck on full queues, then drain.
-        for q in (q0, q1, q2):
+        for q in queues:
             while True:
                 try:
                     q.get_nowait()
@@ -196,15 +311,16 @@ def run(args, estimator=None) -> np.ndarray:
     all_poses = []
     stop = False
 
-    def lift_and_place(frame, result):
-        """Per-frame tail: convert -> streaming lift -> realtime placement.
+    def lift_submit(frame, result):
+        """Per-frame head: convert -> ASYNC streaming-lift dispatch.
 
-        Shared verbatim by the sequential and pipelined loops; returns
-        False to request an early stop (display quit key).
+        Returns a pending token for :func:`lift_finish`, or None for
+        frames that never reach the lifter (no detection / empty
+        conversion). The window state advances at submit time, so
+        submits must happen in frame order.
         """
-        nonlocal stop
         if result is None:
-            return True
+            return None
         preds, maxvals = result  # (M, 17, 2), (M, 17, 1)
 
         kpts = np.zeros((args.num_person, 17, 2), np.float32)
@@ -217,7 +333,7 @@ def run(args, estimator=None) -> np.ndarray:
         # streaming window keeps a fixed (num_person, ...) shape
         converted_k, converted_s = h36m_coco_kpts(kpts, scores)
         if not converted_k:
-            return True
+            return None
         frame_kpts = np.zeros((args.num_person, 17, 2), np.float32)
         frame_scores = np.zeros((args.num_person, 17), np.float32)
         nonzero = [p for p in range(args.num_person)
@@ -228,7 +344,19 @@ def run(args, estimator=None) -> np.ndarray:
         norm = np.asarray(normalize_screen_coordinates(
             frame_kpts, w=width, h=height), dtype=np.float32)
 
-        pose3d = lifter.push(norm)  # (M, 17, 3)
+        return frame, frame_kpts, frame_scores, lifter.push_async(norm)
+
+    def lift_finish(pending):
+        """Per-frame tail: fetch the lift result -> placement -> display.
+
+        Returns False to request an early stop (display quit key). The
+        pipelined loop holds ONE pending frame so this fetch's tunnel
+        round-trip overlaps the next frame's submit; the sequential loop
+        finishes each frame immediately (identical math either way).
+        """
+        nonlocal stop
+        frame, frame_kpts, frame_scores, pose_dev = pending
+        pose3d = np.asarray(pose_dev)  # (M, 17, 3)
         placed = revise_skes_real_time(list(pose3d), frame_kpts, width)
         all_poses.append(placed)
 
@@ -239,6 +367,11 @@ def run(args, estimator=None) -> np.ndarray:
                 stop = True
                 return False
         return True
+
+    def lift_and_place(frame, result):
+        """Submit + finish in one step (the sequential loop's tail)."""
+        pending = lift_submit(frame, result)
+        return lift_finish(pending) if pending is not None else True
 
     n = 0
     t0 = time.perf_counter()
@@ -252,8 +385,9 @@ def run(args, estimator=None) -> np.ndarray:
             if not lift_and_place(frame, result):
                 break
     else:
-        n = _pipelined_loop(cap, estimator, args, lift_and_place,
-                            lambda: stop)
+        n = _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
+                            lambda: stop,
+                            pool_workers=getattr(args, "pool_workers", 2))
     cap.release()
 
     fps = n / (time.perf_counter() - t0)

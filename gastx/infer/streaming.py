@@ -51,6 +51,15 @@ class StreamingLifter:
         frame. Returns (M, J, 3) root-relative 3D poses. The first frame
         edge-pads the whole window (matching UnchunkedGenerator's leading
         edge padding for causal models)."""
+        return np.asarray(self.push_async(keypoints))
+
+    def push_async(self, keypoints: np.ndarray) -> jax.Array:
+        """:meth:`push` without the host fetch: returns the (M, J, 3)
+        device array while the step may still be in flight. JAX dispatch
+        is async, so a caller that defers ``np.asarray`` by one frame
+        (gastx/cli/realtime.py pipelined loop) overlaps this frame's
+        device/tunnel round-trip with the previous frame's placement —
+        the window state advances identically either way."""
         kpts = jnp.asarray(keypoints, dtype=jnp.float32)
         assert kpts.shape == (self.num_person, self.cfg.num_joints_in, 2)
         if self._window is None:
@@ -59,4 +68,4 @@ class StreamingLifter:
                 kpts[:, None], (self.num_person, rf, *kpts.shape[1:]))
         self._window, pose = _stream_step(self.params, self.state,
                                           self._window, kpts, self.cfg)
-        return np.asarray(pose)
+        return pose

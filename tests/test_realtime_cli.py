@@ -78,7 +78,8 @@ def test_pipelined_loop_matches_sequential(tmp_path, drop_every):
     from gastx.cli.realtime import parse_args, run
 
     outs = {}
-    for mode, extra in (("seq", ["--no-pipeline"]), ("pipe", [])):
+    for mode, extra in (("seq", ["--no-pipeline"]), ("pipe", []),
+                        ("pipe1", ["--pool-workers", "1"])):
         poses = run(
             parse_args(["-v", path, "--random-lifter-weights", "-f", "27"]
                        + extra),
@@ -87,4 +88,8 @@ def test_pipelined_loop_matches_sequential(tmp_path, drop_every):
 
     expected = t - (t + drop_every - 1) // drop_every if drop_every else t
     assert outs["seq"].shape[0] == expected
+    # Default (pooled HRNet stage; FakeEstimator lacks the device detect
+    # split, so detect falls back to the ordered stage) and the all-
+    # ordered --pool-workers 1 pipeline must both be bit-identical.
     np.testing.assert_array_equal(outs["seq"], outs["pipe"])
+    np.testing.assert_array_equal(outs["seq"], outs["pipe1"])

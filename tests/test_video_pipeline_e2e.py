@@ -282,3 +282,29 @@ def test_gen_video_kpts_batched_matches_per_frame(tiny_models, tiny_video):
     assert kpts_seq.shape == kpts_bat.shape
     np.testing.assert_allclose(kpts_seq, kpts_bat, atol=2.0)
     np.testing.assert_allclose(scores_seq, scores_bat, atol=1e-5)
+
+
+@requires_reference
+def test_realtime_deep_split_pipeline_matches_sequential(tiny_models,
+                                                         tiny_video,
+                                                         tmp_path):
+    """The realtime CLI's pooled stages (--pool-workers 2, the default)
+    with the REAL estimator take the deep device/host detect split
+    (detector.detect concurrent + ordered crops_from_detections), which
+    the FakeEstimator test can't reach — the whole pipelined loop must be
+    bit-identical to --no-pipeline. Per-frame device detect/HRNet calls
+    are deterministic (same compiled executable, same inputs), so exact
+    equality is the correct assertion."""
+    from gastx.cli.realtime import parse_args, run
+
+    path, _, _, _ = tiny_video
+    outs = {}
+    for mode, extra in (("seq", ["--no-pipeline"]), ("pipe", [])):
+        est = _make_estimator(tiny_models)  # fresh SORT state per run
+        out = str(tmp_path / f"{mode}.npz")
+        run(parse_args(["-v", path, "--random-lifter-weights",
+                        "--output", out] + extra),
+            estimator=est)
+        outs[mode] = np.load(out)["poses"]
+    assert outs["seq"].shape == outs["pipe"].shape
+    np.testing.assert_array_equal(outs["seq"], outs["pipe"])

@@ -111,6 +111,19 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
         queues.append(q)
         return q
 
+    def safe_put(q, item):
+        """put that gives up once the pipeline is shutting down — the
+        main thread drains each queue exactly once in its ``finally``,
+        so a put racing past that drain could otherwise block a stage
+        thread forever (a leak for long-running library callers)."""
+        while not quit_evt.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
+
     def reader(q_out):
         n = 0
         while not quit_evt.is_set() and (args.max_frames < 0
@@ -118,24 +131,27 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
             ret, frame = cap.read()
             if not ret:
                 break
-            q_out.put((n, frame))
+            if not safe_put(q_out, (n, frame)):
+                return
             n += 1
-        q_out.put((n, STOP))
+        safe_put(q_out, (n, STOP))
 
     def ordered_stage(q_in, q_out, fn):
         """One worker, FIFO in == FIFO out; exceptions pass through."""
         while not quit_evt.is_set():
             seq, item = q_in.get()
-            if item is STOP:
-                q_out.put((seq, STOP))
+            if item is STOP or quit_evt.is_set():
+                safe_put(q_out, (seq, STOP))
                 return
             if isinstance(item, BaseException):
-                q_out.put((seq, item))
+                safe_put(q_out, (seq, item))
                 continue
             try:
-                q_out.put((seq, fn(item)))
+                res = fn(item)
             except BaseException as exc:
-                q_out.put((seq, exc))
+                res = exc
+            if not safe_put(q_out, (seq, res)):
+                return
 
     def pooled_stage(q_in, q_out, fn, workers):
         """``workers`` concurrent appliers of a STATELESS ``fn`` plus a
@@ -147,8 +163,11 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
         def work():
             while not quit_evt.is_set():
                 seq, item = q_in.get()
-                if item is STOP:
-                    q_in.put((seq, STOP))  # wake the peer workers
+                if item is STOP or quit_evt.is_set():
+                    try:
+                        q_in.put_nowait((seq, STOP))  # wake peer workers
+                    except queue.Full:
+                        pass  # full queue == a peer isn't blocked on get
                     with cond:
                         buf[seq] = STOP
                         cond.notify_all()
@@ -173,8 +192,7 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
                     res = buf.pop(want, None)
                 if res is None:  # quit_evt path
                     return
-                q_out.put((want, res))
-                if res is STOP:
+                if not safe_put(q_out, (want, res)) or res is STOP:
                     return
                 want += 1
 
@@ -257,13 +275,19 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
             pending = None
     finally:
         quit_evt.set()
-        # Unblock producers stuck on full queues, then drain.
+        # Unblock producers stuck on full queues, then wake any getter
+        # still blocked on an empty queue (a full queue has no blocked
+        # getters, so a dropped sentinel is never a lost wakeup).
         for q in queues:
             while True:
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     break
+            try:
+                q.put_nowait((-1, STOP))
+            except queue.Full:
+                pass
         for t in threads:
             t.join(timeout=5.0)
     return n
@@ -375,20 +399,23 @@ def run(args, estimator=None) -> np.ndarray:
 
     n = 0
     t0 = time.perf_counter()
-    if args.no_pipeline:
-        while args.max_frames < 0 or n < args.max_frames:
-            ret, frame = cap.read()
-            if not ret:
-                break
-            n += 1
-            result = estimator.estimate_frame(frame, args.num_person)
-            if not lift_and_place(frame, result):
-                break
-    else:
-        n = _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
-                            lambda: stop,
-                            pool_workers=getattr(args, "pool_workers", 2))
-    cap.release()
+    try:
+        if args.no_pipeline:
+            while args.max_frames < 0 or n < args.max_frames:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                n += 1
+                result = estimator.estimate_frame(frame, args.num_person)
+                if not lift_and_place(frame, result):
+                    break
+        else:
+            n = _pipelined_loop(
+                cap, estimator, args, lift_submit, lift_finish,
+                lambda: stop,
+                pool_workers=getattr(args, "pool_workers", 2))
+    finally:
+        cap.release()
 
     fps = n / (time.perf_counter() - t0)
     print(f"processed {n} frames at {fps:.1f} fps "

@@ -93,3 +93,32 @@ def test_pipelined_loop_matches_sequential(tmp_path, drop_every):
     # ordered --pool-workers 1 pipeline must both be bit-identical.
     np.testing.assert_array_equal(outs["seq"], outs["pipe"])
     np.testing.assert_array_equal(outs["seq"], outs["pipe1"])
+
+
+def test_pipeline_error_propagates_and_shuts_down(tmp_path):
+    """A stage exception must re-raise in the caller, and the pipeline's
+    worker threads must all exit (no leak for long-running library
+    callers that survive the error)."""
+    import threading
+    import time as _time
+
+    path = str(tmp_path / "cam.mp4")
+    w, h, t = 160, 120, 12
+    _write_clip(path, w, h, t)
+
+    class Bomb(FakeEstimator):
+        def detect_crops(self, frame, num_person=1, track=True):
+            if self._n_detect == 5:
+                raise RuntimeError("boom at frame 5")
+            return super().detect_crops(frame, num_person, track)
+
+    from gastx.cli.realtime import parse_args, run
+
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="boom at frame 5"):
+        run(parse_args(["-v", path, "--random-lifter-weights", "-f", "27"]),
+            estimator=Bomb(w, h))
+    deadline = _time.time() + 10.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before

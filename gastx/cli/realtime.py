@@ -183,14 +183,18 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
                     buf[seq] = res
                     cond.notify_all()
 
+        ABSENT = object()
+
         def deliver():
             want = 0
             while not quit_evt.is_set():
                 with cond:
                     while want not in buf and not quit_evt.is_set():
                         cond.wait(0.2)
-                    res = buf.pop(want, None)
-                if res is None:  # quit_evt path
+                    # Distinct sentinel: a stage fn legitimately returning
+                    # None must not read as the quit_evt path.
+                    res = buf.pop(want, ABSENT)
+                if res is ABSENT:  # quit_evt path
                     return
                 if not safe_put(q_out, (want, res)) or res is STOP:
                     return
@@ -254,6 +258,12 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
             if item is STOP:
                 break
             if isinstance(item, BaseException):
+                # Place the already-submitted previous frame first, so an
+                # error-tolerant caller sees exactly the sequential
+                # prefix of outputs.
+                if pending is not None:
+                    lift_finish(pending)
+                    pending = None
                 raise item
             n += 1
             frame, result = item
@@ -262,8 +272,10 @@ def _pipelined_loop(cap, estimator, args, lift_submit, lift_finish,
             submitted = lift_submit(frame, result)
             if pending is not None and not lift_finish(pending):
                 # Early display-quit: drop the in-flight frame, like the
-                # sequential loop (which never submits it).
+                # sequential loop (which never reads or submits it) —
+                # including from the processed-frame count.
                 pending = None
+                n -= 1
                 quit_evt.set()
                 break
             pending = submitted

@@ -205,8 +205,8 @@ TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
 # Historical name: the r2 "conservative" preset. Since the r3 24-seed
 # re-certification promoted attn_cat to "high", the production preset IS
 # the safe preset — kept as an alias for API compatibility.
-TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = (
-    TPU_MIXED_PRECISION_OVERRIDES)
+TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = \
+    TPU_MIXED_PRECISION_OVERRIDES
 
 
 class GraphStatics(NamedTuple):

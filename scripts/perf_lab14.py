@@ -57,10 +57,14 @@ def main():
                                          num_person=1, progress=False,
                                          estimator=est, batch_size=batch)
                 dt = time.perf_counter() - t0
+                # Pin the denominator: a frame with no detection would
+                # silently deflate frames/s and skew the batch sweep.
+                assert kpts.shape[1] == N_FRAMES, \
+                    f"only {kpts.shape[1]}/{N_FRAMES} frames detected"
                 if timed:
                     print(f"[det-batch {batch:3d}] "
-                          f"{kpts.shape[1] / dt:6.1f} frames/s "
-                          f"({dt:.1f}s for {kpts.shape[1]} frames)",
+                          f"{N_FRAMES / dt:6.1f} frames/s "
+                          f"({dt:.1f}s for {N_FRAMES} frames)",
                           flush=True)
     finally:
         shutil.rmtree(os.path.dirname(clip), ignore_errors=True)

@@ -49,3 +49,41 @@ def test_streaming_multi_person():
     out = lifter.push(rng.standard_normal((2, 15, 2)).astype(np.float32))
     assert out.shape == (2, 15, 3)
     assert np.isfinite(out).all()
+
+
+def test_streaming_batched_streams_equal_independent():
+    """Axis 0 of the window ring is a batch of INDEPENDENT streams — the
+    serving mode: many live sessions batched into one device step (the
+    eval forward has no cross-batch coupling: BN uses running stats).
+    A batched lifter must evolve exactly like separate single-stream
+    lifters; tiny tolerance covers batch-width-dependent XLA fusion."""
+    params, state = init_gastnet(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(2)
+    s, t, j = 3, 8, 15
+    frames = rng.standard_normal((t, s, j, 2)).astype(np.float32)
+
+    batched = StreamingLifter(params, state, CFG, num_person=s)
+    singles = [StreamingLifter(params, state, CFG, num_person=1)
+               for _ in range(s)]
+    for i in range(t):
+        out_b = batched.push(frames[i])
+        out_s = np.concatenate([singles[k].push(frames[i, k][None])
+                                for k in range(s)])
+        np.testing.assert_allclose(out_b, out_s, atol=1e-6)
+
+
+def test_push_async_matches_push():
+    """push_async + deferred fetch (the realtime pipelined loop's 1-deep
+    lift pipeline) is push with the np.asarray moved later — identical
+    window evolution and results."""
+    params, state = init_gastnet(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(3)
+    t = 6
+    frames = rng.standard_normal((t, 1, 15, 2)).astype(np.float32)
+
+    sync_lifter = StreamingLifter(params, state, CFG, num_person=1)
+    async_lifter = StreamingLifter(params, state, CFG, num_person=1)
+    sync_out = [sync_lifter.push(frames[i]) for i in range(t)]
+    handles = [async_lifter.push_async(frames[i]) for i in range(t)]
+    for a, b in zip(sync_out, handles):
+        np.testing.assert_array_equal(a, np.asarray(b))

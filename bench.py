@@ -519,9 +519,10 @@ def main():
                     "metric": "realtime_e2e_fps", "value": round(rt, 1),
                     "unit": "frames/s", "vs_baseline": None,
                     "note": "full host loop (decode/detect/track/crop/"
-                            "HRNet/stream-lift), tiny backbones; axon-"
-                            "tunnel RTT floor ~3x30ms/frame on this "
-                            "host"}), flush=True)
+                            "HRNet/stream-lift), tiny backbones; pooled "
+                            "pipelined loop hides most of the axon "
+                            "tunnel's ~30ms/dispatch RTT; number swings "
+                            "16-26 with tunnel load"}), flush=True)
 
         attempt("realtime_e2e_fps", realtime)
 

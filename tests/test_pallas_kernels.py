@@ -106,6 +106,34 @@ def test_fused_gab_rejects_wide_channels():
                   tuple(int(i) for i in statics.con_idx), interpret=True)
 
 
+@pytest.mark.parametrize("num_joints,layout", [
+    (19, "h36m19"), (16, "sh16"), (15, "humaneva15")])
+def test_gab_impl_pallas_full_forward_other_layouts(num_joints, layout):
+    """Production routes EVERY inference layout through the fused kernels
+    (config_for_frames(frames, num_joints) -> gab_impl="auto"): the
+    19-joint toe models (gen_skes.py:49), SH-16 and HumanEva-15 all
+    build different static sym/con adjacency tables and (J, J) score
+    shapes than the 17-joint tests above — pin their parity too."""
+    import dataclasses
+
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
+                        layout=layout, dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(
+        (2, 27, num_joints, 2)).astype(np.float32))
+
+    y_ref, _ = gastnet_forward(params, state, x, cfg,
+                               variant="dilated", train=False)
+    cfg_p = dataclasses.replace(cfg, gab_impl="pallas_interpret")
+    y_got, _ = gastnet_forward(params, state, x, cfg_p,
+                               variant="dilated", train=False)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_gab_impl_pallas_full_forward_matches_xla():
     """The gab_impl="pallas" wiring (GastNetConfig flag) end-to-end: the
     full dilated eval forward with fused blocks (C<=256 levels whole-block,

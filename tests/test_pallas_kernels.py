@@ -134,6 +134,31 @@ def test_gab_impl_pallas_full_forward_other_layouts(num_joints, layout):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_gab_impl_pallas_strided_causal_matches_xla():
+    """The kernel route applies to every eval variant, so the causal
+    STREAMING step (variant="strided", the realtime CLI's per-frame
+    device step via config_for_frames(causal=True) -> gab_impl="auto")
+    also runs the fused blocks on TPU — pin its parity, not just the
+    dilated offline forward's."""
+    import dataclasses
+
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(dropout=0.0, causal=True)
+    params, state = init_gastnet(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal(
+        (2, cfg.receptive_field(), 17, 2)).astype(np.float32))
+
+    y_ref, _ = gastnet_forward(params, state, x, cfg,
+                               variant="strided", train=False)
+    cfg_p = dataclasses.replace(cfg, gab_impl="pallas_interpret")
+    y_got, _ = gastnet_forward(params, state, x, cfg_p,
+                               variant="strided", train=False)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_gab_impl_pallas_full_forward_matches_xla():
     """The gab_impl="pallas" wiring (GastNetConfig flag) end-to-end: the
     full dilated eval forward with fused blocks (C<=256 levels whole-block,

@@ -81,6 +81,25 @@ class GastNetConfig:
     #              leaving the ch-32 lane-padding bandwidth ceiling.
     # Training always runs f32 storage (the tier applies to eval only).
     storage_dtype: str = "float32"
+    # HBM I/O dtype at the fused-kernel block boundaries: "float32"
+    # (default) or "bfloat16". Under a pallas gab_impl the kernels upcast
+    # on VMEM load and compute in f32 regardless, so "bfloat16" halves
+    # only the block's HBM read/write bytes (plus the split form's HBM
+    # intermediate) while the surrounding convs keep f32 storage +
+    # "high" matmuls — a boundary-rounding-only precision cost, unlike
+    # storage_dtype="bfloat16" which also turns every XLA matmul into a
+    # bf16-operand product. No effect on the XLA path, training, or when
+    # storage_dtype already made activations bf16.
+    # MEASURED AND NOT ADOPTED (r3, scripts/perf_lab15.py, 27f B=1024):
+    # 14,792 vs 14,104 seq/s (+4.9%) but 0.1597mm worst of 8 seeds —
+    # over the 0.1mm budget at EVERY seed (0.13-0.16): rounding the
+    # activations that cross the 6 block boundaries dominates, not
+    # matmul precision (x itself is concatenated into the block output,
+    # so boundary rounding perturbs it linearly). This also attributes
+    # 27f's full-bf16-storage error (0.26mm): mostly activation
+    # rounding, unfixable by precision tiers. Kept as an opt-in for
+    # >0.1mm-budget deployments.
+    gab_io_dtype: str = "float32"
     # Graph-attention-block implementation for the EVAL-mode forward:
     # "xla" (default for bare configs), "pallas" — the fused VMEM-resident
     # kernels (gastx/ops/pallas/fused_gab.py): whole-block kernel for

@@ -212,6 +212,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
             gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
+            gab_io_dtype=cfg.gab_io_dtype,
             prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
@@ -247,6 +248,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             train=train, dropout_rate=cfg.dropout, rng=block_rng(i),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
             gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
+            gab_io_dtype=cfg.gab_io_dtype,
             prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})

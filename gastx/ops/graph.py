@@ -324,6 +324,7 @@ def graph_attention_block(
     local_impl: str = "einsum",
     gab_impl: str = "xla",
     gab_tile_budget: int = 4096,
+    gab_io_dtype: str = "float32",
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
@@ -377,12 +378,27 @@ def graph_attention_block(
             # state untouched, so both return the input state subtree.
             fn = (fused_gab if x.shape[-1] <= MAX_FUSED_CHANNELS
                   else fused_gab_split)
+            restore_f32 = False
+            if gab_io_dtype == "bfloat16" and x.dtype == jnp.float32:
+                # Boundary-only bf16: the downcast fuses into the producing
+                # XLA fusion, the kernel reads/writes bf16 HBM but still
+                # computes in f32 (upcast on VMEM load), and the upcast
+                # back below fuses into the consuming conv's fusion — so
+                # HBM traffic at the block boundary halves while only the
+                # activation values crossing it are rounded, unlike full
+                # bf16 storage_dtype (GastNetConfig.gab_io_dtype). The
+                # op-graph dtype contract stays f32 for every caller
+                # (lax convs reject mixed-dtype operands).
+                x = x.astype(jnp.bfloat16)
+                restore_f32 = True
             y = fn(x, params, state,
                    tuple(int(i) for i in statics.sym_idx),
                    tuple(int(i) for i in statics.con_idx),
                    interpret=(gab_impl == "pallas_interpret"),
                    precs=resolve_tiers(prec, KERNEL_OPS),
                    tile_budget=gab_tile_budget)
+            if restore_f32:
+                y = y.astype(jnp.float32)
             return y, state
 
     rng_l = rng_g = None

@@ -185,6 +185,47 @@ def test_gab_impl_pallas_full_forward_matches_xla():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gab_io_bf16_boundary_rounding_only():
+    """gab_io_dtype="bfloat16" (boundary-only bf16 HBM I/O for the fused
+    blocks): the full forward must equal the f32 kernel path to within
+    bf16 boundary-rounding noise — far tighter than full bf16
+    storage_dtype — and must be a no-op when gab_impl resolves to XLA."""
+    import dataclasses
+
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(dropout=0.0, gab_impl="pallas_interpret")
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y_ref, _ = gastnet_forward(params, state, x, cfg,
+                               variant="dilated", train=False)
+    cfg_io = dataclasses.replace(cfg, gab_io_dtype="bfloat16")
+    y_got, s_got = gastnet_forward(params, state, x, cfg_io,
+                                   variant="dilated", train=False)
+    assert y_got.dtype == jnp.float32
+    # Interpret mode computes exactly like the f32 path; the only deltas
+    # are the bf16 casts at the 3 block boundaries (relative ~2^-9 of
+    # activation scale). Full bf16 storage measures ~100x looser here.
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=5e-2, rtol=0)
+    assert float(np.max(np.abs(np.asarray(y_got - y_ref)))) > 0.0
+    # Eval-mode BN state untouched.
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s_got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # On the XLA route the knob is inert: bitwise-equal forward.
+    cfg_x = dataclasses.replace(cfg, gab_impl="xla")
+    cfg_xio = dataclasses.replace(cfg_x, gab_io_dtype="bfloat16")
+    y_x, _ = gastnet_forward(params, state, x, cfg_x,
+                             variant="dilated", train=False)
+    y_xio, _ = gastnet_forward(params, state, x, cfg_xio,
+                               variant="dilated", train=False)
+    np.testing.assert_array_equal(np.asarray(y_x), np.asarray(y_xio))
+
+
 def test_kdot_high_emulation_accuracy():
     """The kernel-side 3-pass bf16 'high' emulation (precision.kdot with
     interpret=False) vs a float64 reference — runs on CPU, where the bf16

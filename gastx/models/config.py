@@ -104,12 +104,19 @@ class GastNetConfig:
     # "xla" (default for bare configs), "pallas" — the fused VMEM-resident
     # kernels (gastx/ops/pallas/fused_gab.py): whole-block kernel for
     # C <= 256, the two-kernel split form for C <= 512 (the widest level
-    # of every shipped config) — or "auto" (= "pallas" on TPU backends,
-    # "xla" elsewhere; the config_for_frames inference default). Measured
-    # on-chip r3c under the certified preset: +14% end-to-end (14,074 vs
-    # 12,299 seq/s at B=1024/27f) at 0.0631mm worst of 24 seeds vs
-    # all-"highest" (the kernels' exact-f32 local aggregation beats the
-    # XLA mixed path's 0.0729mm). Training steps always take the XLA path.
+    # of every shipped config) — "pallas_level" — additionally fuses the
+    # WHOLE level (dilated conv -> BN -> ReLU -> 1x1 -> BN -> ReLU ->
+    # +residual -> GAB) into one kernel per batch element where the GAB
+    # weights fit VMEM and the sequence is short enough
+    # (gastx/ops/pallas/fused_level.py; longer sequences fall back
+    # per-level to the per-GAB kernels) — or "auto" (= "pallas" on TPU
+    # backends, "xla" elsewhere; the config_for_frames inference
+    # default). Measured on-chip r3c under the certified preset: "pallas"
+    # +14% end-to-end (14,074 vs 12,299 seq/s at B=1024/27f) at 0.0631mm
+    # worst of 24 seeds vs all-"highest"; "pallas_level" 14,418 seq/s at
+    # 0.0511mm worst of 8 (scripts/perf_lab16.py) — strictly faster AND
+    # tighter (the conv chain's kernel dots replace the XLA "high" convs).
+    # Training steps always take the XLA path.
     gab_impl: str = "xla"
 
     def precision_for(self, op_class: str):
@@ -190,7 +197,7 @@ class GastNetConfig:
 #
 #   preset              seq/s   max err             note
 #   all "high"          10643   0.0013 mm           training / bit-studies
-#   TPU_MIXED (below)   14074   0.0631 mm (24 seed) inference default (fused kernels)
+#   TPU_MIXED (below)   14418   0.0632 mm (24 seed) inference default (level-fused kernels; 14074 with per-GAB kernels)
 #   + attn_cat default  14441   0.1088 mm (24 seed) REJECTED r3: tail over budget
 #   + attn_proj default 14002   0.124 mm  (8 seed)  REJECTED: over budget
 #   all "default"       15642   0.16 mm   (8 seed)  REJECTED: over budget
@@ -259,9 +266,10 @@ def config_for_frames(
 
     This is the *inference* entry point (reconstruct/realtime/gen_skes
     CLIs), so it defaults to the measured mixed-precision preset
-    (max 0.0631 mm over 24 seeds — see TPU_MIXED_PRECISION_OVERRIDES) and,
+    (max 0.0632 mm over 24 seeds — see TPU_MIXED_PRECISION_OVERRIDES) and,
     on TPU backends, the fused graph-attention-block kernels
-    (``gab_impl="auto"``: 14,074 seq/s at B=1024/27f, r3). Pass
+    (``gab_impl="auto"`` = level-fused kernels on TPU f32 paths:
+    14,418 seq/s at B=1024/27f, scripts/perf_lab16.py). Pass
     ``precision_overrides=()`` + ``gab_impl="xla"`` for the all-"high"
     bit-study mode; training builds GastNetConfig directly and stays
     all-"high"/XLA.

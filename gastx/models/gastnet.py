@@ -218,11 +218,59 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
         start = 1
         next_dilation = fw[0]
 
+    # Level fusion (gab_impl="pallas_level[_interpret]"): the whole
+    # [dilated conv -> BN -> ReLU -> 1x1 -> BN -> ReLU -> +res -> GAB]
+    # level runs as ONE kernel per batch element where the GAB weights
+    # fit VMEM (C <= 256) — the level's three interior activations never
+    # touch HBM (gastx/ops/pallas/fused_level.py). Eval/dilated only.
+    # "auto" (the production inference default) takes this route on TPU
+    # f32 paths: measured strictly better than per-GAB kernels at 27f
+    # (14,418/14,385 vs 14,091/14,097 seq/s across two runs, 0.0632mm
+    # worst of 24 seeds vs 0.0631 — scripts/perf_lab16.py); bf16-storage
+    # activations keep the measured-faster XLA route, and the VMEM gate
+    # below falls back per-level for long sequences.
+    use_level_fuse = (
+        not train and variant == "dilated" and not cfg.dense
+        and (cfg.gab_impl in ("pallas_level", "pallas_level_interpret")
+             or (cfg.gab_impl == "auto"
+                 and jax.default_backend() == "tpu"
+                 and x.dtype == jnp.float32)))
+
     for i in range(start, cfg.num_levels):
         blk_p = params["temporal"][i - 1]
         blk_s = state["temporal"][i - 1]
 
         lp = level_prec(f"lvl{i}")
+        ci = cfg.block_channels(i)
+        # VMEM gate: the level kernel holds one sequence's T_out rows per
+        # grid step, and the GAB temporaries' scoped-VMEM stack scales
+        # with rows x max(C,128)/128 (fused_gab's measured 2**12 budget,
+        # ~8M at 32 C=128-equivalent rows; 48 OOM'd the 16M limit). 40
+        # equivalent rows covers 27f's level 1 (19 rows at C=256 = 38)
+        # and keeps headroom for the conv temporaries; longer sequences
+        # (whole-sequence bucketed lifting) fall back to the per-GAB
+        # kernels below.
+        t_out_i = y.shape[1] - (fw[i] - 1) * next_dilation
+        fits_vmem = t_out_i * max(ci, 128) <= 40 * 128
+        if use_level_fuse and ci <= 256 and fits_vmem:
+            from gastx.ops.pallas.fused_gab import KERNEL_OPS
+            from gastx.ops.pallas.fused_level import LEVEL_OPS, fused_level
+            from gastx.ops.pallas.precision import resolve_tiers
+
+            y = fused_level(
+                y, blk_p, blk_s, params["gabs"][i], state["gabs"][i],
+                tuple(int(v) for v in statics.sym_idx),
+                tuple(int(v) for v in statics.con_idx),
+                fw=fw[i], dilation=next_dilation,
+                res_off=pads[i] + shifts[i],
+                interpret=cfg.gab_impl.endswith("_interpret"),
+                precs=(resolve_tiers(lp, LEVEL_OPS)
+                       + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)))
+            # Eval mode: BN state untouched on the fused path.
+            temporal_states.append(blk_s)
+            gab_states.append(state["gabs"][i])
+            next_dilation *= fw[i]
+            continue
         if variant == "strided":
             res = y[:, shifts[i] + fw[i] // 2:: fw[i]]
             z = temporal_conv(y, blk_p["conv_t"]["w"], stride=fw[i],

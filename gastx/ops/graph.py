@@ -394,7 +394,7 @@ def graph_attention_block(
             y = fn(x, params, state,
                    tuple(int(i) for i in statics.sym_idx),
                    tuple(int(i) for i in statics.con_idx),
-                   interpret=(gab_impl == "pallas_interpret"),
+                   interpret=gab_impl.endswith("_interpret"),
                    precs=resolve_tiers(prec, KERNEL_OPS),
                    tile_budget=gab_tile_budget)
             if restore_f32:

@@ -1,0 +1,180 @@
+"""Level-fused Pallas kernel: temporal conv chain + GraphAttentionBlock.
+
+The r3 whole-block kernels (fused_gab.py) removed the graph block's
+internal HBM traffic, but each level of the reference architecture
+(model/gast_net.py:139-161) still round-trips three full-size activations
+through HBM between blocks: the dilated temporal-conv output, the 1x1
+mid-conv output, and the residual-summed block input. At 27f those
+intermediates are ~40% of the remaining per-sequence traffic (DESIGN.md
+roofline).
+
+This kernel fuses ONE ENTIRE LEVEL per batch element:
+
+    y (T_in, J, C) --[dilated conv fw taps -> BN -> ReLU
+                      -> 1x1 -> BN -> ReLU -> + residual slice]
+                   --[whole GraphAttentionBlock (fused_gab bodies)]
+                   --> (T_out, J, 2C)
+
+entirely in VMEM: the level input is read from HBM once and only the
+(T_out, J, 2C) block output is written back. Grid = batch elements (one
+sequence's level fits VMEM comfortably at 27f: T<=25 rows). The dilated
+valid conv becomes ``fw`` static row-slice dots on the flattened
+(T*J, C) activations — tap k reads rows [k*d*J : k*d*J + T_out*J] — and
+the residual is a static row slice, so no gather/scatter appears.
+
+Eval/dilated only (training and the strided variant use the XLA path);
+BN is pre-folded to scale/shift. C <= MAX_FUSED_CHANNELS (the GAB weight
+set must stay VMEM-resident) — at 27f that fuses level 1 (C=256), at 81f
+levels 1-2, at 243f levels 1-3; the C=512 widest level keeps the split
+kernels (its T_out is 1 frame at every shipped config, so its interior
+traffic is negligible).
+
+Reference: model/gast_net.py:145-161 (the slice/conv/residual loop) +
+model/gast_net.py:8-33 (GraphAttentionBlock).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gastx.ops.pallas.fused_gab import (
+    MAX_FUSED_CHANNELS, _block_concat, _concat_ins, _ensure_f32, _fold_bn,
+    _full, _global_branch, _global_ins, _local_branch, _local_ins,
+    _make_dots)
+from gastx.ops.pallas.precision import tiers_from_pairs
+
+# The conv-chain dots, by the model's precision-override op classes
+# (level-qualified "lvl{i}.temporal" etc. resolve at the call site);
+# concatenated with fused_gab.KERNEL_OPS for the block's own dots.
+LEVEL_OPS = ("temporal", "mid1x1")
+
+
+def _kernel_level(x_ref,
+                  # conv chain
+                  wt_ref, bnt_scale_ref, bnt_shift_ref,
+                  w1_ref, bn1_scale_ref, bn1_shift_ref,
+                  # local branch
+                  w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+                  w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
+                  bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
+                  bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
+                  lcat_shift_ref,
+                  # global branch
+                  theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
+                  g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
+                  acat_scale_ref, acat_shift_ref,
+                  # block concat
+                  gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
+                  out_ref, *,
+                  fw: int, dilation: int, res_off: int, t_out: int,
+                  num_heads: int, inter: int, g_ch: int, j: int,
+                  col_sym, col_con, tiers, interpret: bool):
+    c = x_ref.shape[-1]
+    rows = t_out * j
+    xr = x_ref[0].astype(jnp.float32)            # (T_in*J, C)
+    dot, dotg = _make_dots(tiers, interpret)
+
+    # Dilated valid temporal conv as fw static row-slice dots: output
+    # frame t reads input frames t + k*dilation, so tap k is the
+    # contiguous row window starting at frame k*dilation.
+    z = dot(xr[0:rows, :], wt_ref[0:c, :], "temporal")
+    for k in range(1, fw):
+        start = k * dilation * j
+        z = z + dot(xr[start:start + rows, :],
+                    wt_ref[k * c:(k + 1) * c, :], "temporal")
+    z = jnp.maximum(z * bnt_scale_ref[:] + bnt_shift_ref[:], 0.0)
+    z = dot(z, w1_ref[:], "mid1x1")
+    z = jnp.maximum(z * bn1_scale_ref[:] + bn1_shift_ref[:], 0.0)
+
+    # Residual: the reference's center slice (model/gast_net.py:153),
+    # shifted for causal configs.
+    y1 = xr[res_off * j:res_off * j + rows, :] + z
+
+    local = _local_branch(
+        y1, t_out, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
+        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
+        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
+        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
+    globl = _global_branch(
+        y1, t_out, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
+        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
+        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
+    y = _block_concat(y1, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
+                      gcat_shift_ref)
+    out_ref[:] = y.reshape(1, rows, 2 * c).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fw", "dilation", "res_off", "sym_idx",
+                                    "con_idx", "interpret", "precs"))
+def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
+                gab_params: Dict, gab_state: Dict,
+                sym_idx: tuple, con_idx: tuple, *,
+                fw: int, dilation: int, res_off: int,
+                interpret: bool = False,
+                precs: tuple = ()) -> jnp.ndarray:
+    """One architecture level, fused: (B, T, J, C) -> (B, T', J, 2C) with
+    T' = T - (fw-1)*dilation.
+
+    ``conv_params``/``conv_state``: the level's temporal subtree
+    ({"conv_t", "bn_t", "conv_1", "bn_1"}); ``gab_params``/``gab_state``:
+    the GAB subtree as for :func:`fused_gab`. ``res_off``: residual slice
+    start in frames (pad + causal shift). ``precs``: static
+    ((op_class, tier), ...) over LEVEL_OPS + fused_gab.KERNEL_OPS.
+    """
+    from gastx.ops.pallas.fused_gab import KERNEL_OPS
+
+    b_, t_in, j_, c_ = x.shape
+    t_out = t_in - (fw - 1) * dilation
+    if c_ > MAX_FUSED_CHANNELS:
+        raise ValueError(
+            f"fused_level supports C <= {MAX_FUSED_CHANNELS}, got {c_}")
+    conv_params = _ensure_f32(conv_params)
+    conv_state = _ensure_f32(conv_state)
+    gab_params, gab_state = _ensure_f32(gab_params), _ensure_f32(gab_state)
+    lp, gp = gab_params["local"], gab_params["global"]
+    k, _, inter = gp["theta_w"].shape
+    g_ch = gp["g_w"].shape[2]
+    tiers = tiers_from_pairs(precs, LEVEL_OPS + KERNEL_OPS)
+
+    bnt = _fold_bn(conv_params["bn_t"], conv_state["bn_t"])
+    bn1 = _fold_bn(conv_params["bn_1"], conv_state["bn_1"])
+    vm = pltpu.VMEM
+    wt = conv_params["conv_t"]["w"].reshape(fw * c_, c_)
+    conv_ins = [
+        (wt, pl.BlockSpec((fw * c_, c_), _full, memory_space=vm)),
+        (bnt[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bnt[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (conv_params["conv_1"]["w"],
+         pl.BlockSpec((c_, c_), _full, memory_space=vm)),
+        (bn1[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bn1[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+    local_ins, col_s, col_c = _local_ins(lp, gab_state, sym_idx, con_idx,
+                                         j_, c_)
+    ins = conv_ins + local_ins \
+        + _global_ins(gp, gab_state, j_, c_, k, inter, g_ch) \
+        + _concat_ins(gab_params, gab_state, c_)
+
+    xf = x.reshape(b_, t_in * j_, c_)
+    out = pl.pallas_call(
+        functools.partial(_kernel_level, fw=fw, dilation=dilation,
+                          res_off=res_off, t_out=t_out, num_heads=k,
+                          inter=inter, g_ch=g_ch, j=j_, col_sym=col_s,
+                          col_con=col_c, tiers=tiers, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((b_, t_out * j_, 2 * c_), x.dtype),
+        grid=(b_,),
+        in_specs=[pl.BlockSpec((1, t_in * j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm)]
+        + [spec for _, spec in ins],
+        out_specs=pl.BlockSpec((1, t_out * j_, 2 * c_), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(xf, *[arr for arr, _ in ins])
+    return out.reshape(b_, t_out, j_, 2 * c_)

@@ -185,6 +185,35 @@ def test_gab_impl_pallas_full_forward_matches_xla():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_gab_impl_pallas_level_matches_xla(causal):
+    """Level fusion (gastx/ops/pallas/fused_level.py): the whole
+    [dilated conv -> BN -> ReLU -> 1x1 -> BN -> ReLU -> +res -> GAB]
+    level as one kernel per batch element. Full forward on a 2-level
+    config (level 1 fused; level 0 via fused_gab) vs the XLA path, both
+    residual alignments (causal shifts the slice)."""
+    import dataclasses
+
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(dropout=0.0, filter_widths=(3, 3), channels=64,
+                        causal=causal)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 15, 17, 2)).astype(np.float32))
+
+    y_ref, s_ref = gastnet_forward(params, state, x, cfg,
+                                   variant="dilated", train=False)
+    cfg_l = dataclasses.replace(cfg, gab_impl="pallas_level_interpret")
+    y_got, s_got = gastnet_forward(params, state, x, cfg_l,
+                                   variant="dilated", train=False)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                    jax.tree_util.tree_leaves(s_got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gab_io_bf16_boundary_rounding_only():
     """gab_io_dtype="bfloat16" (boundary-only bf16 HBM I/O for the fused
     blocks): the full forward must equal the f32 kernel path to within

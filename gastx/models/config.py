@@ -54,6 +54,14 @@ class GastNetConfig:
     # tiles relayout worse); 6144 (48 rows) compile-OOMs the 16M scoped
     # VMEM by 540K (stack 16.53M). 4096 is the measured optimum.
     gab_tile_budget: int = 4096
+    # Fused-kernel compute form (gastx/ops/pallas/fused_gab.py): "v1" —
+    # the r3-certified per-joint-FMA/per-head-dot bodies — or "v2" — the
+    # compute-restructured bodies (merged wide dots, roll-based local
+    # aggregation, block-diagonal score projections; same math to
+    # roundoff). perf_lab17 attribution showed the kernel path is
+    # compute/overhead-bound, which v2 targets; see perf_lab18 for the
+    # on-chip A/B.
+    gab_kernel_form: str = "v1"
     # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
     # whose graph-block input width C is <= this threshold keep
     # activations as (B, T, J*C) — J in lanes — instead of (B, T, J, C),

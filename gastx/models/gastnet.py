@@ -119,7 +119,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
     y = fused_gab_packed(
         y, params["gabs"][0], state["gabs"][0], j, sym, con,
         interpret=interpret, tile_budget=cfg.gab_tile_budget,
-        precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS))
+        precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS),
+        form=cfg.gab_kernel_form)
 
     next_dilation = fw[0]
     i = 1
@@ -150,7 +151,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
         y = fused_gab_packed(
             y, params["gabs"][i], state["gabs"][i], j, sym, con,
             interpret=interpret, tile_budget=cfg.gab_tile_budget,
-            precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS))
+            precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS),
+            form=cfg.gab_kernel_form)
         next_dilation *= fw[i]
         i += 1
 
@@ -213,6 +215,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
             gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
+            gab_kernel_form=cfg.gab_kernel_form,
             prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
@@ -265,7 +268,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
                 res_off=pads[i] + shifts[i],
                 interpret=cfg.gab_impl.endswith("_interpret"),
                 precs=(resolve_tiers(lp, LEVEL_OPS)
-                       + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)))
+                       + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)),
+                form=cfg.gab_kernel_form)
             # Eval mode: BN state untouched on the fused path.
             temporal_states.append(blk_s)
             gab_states.append(state["gabs"][i])
@@ -297,6 +301,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
             gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
+            gab_kernel_form=cfg.gab_kernel_form,
             prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})

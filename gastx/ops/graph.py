@@ -325,6 +325,7 @@ def graph_attention_block(
     gab_impl: str = "xla",
     gab_tile_budget: int = 4096,
     gab_io_dtype: str = "float32",
+    gab_kernel_form: str = "v1",
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
@@ -396,7 +397,7 @@ def graph_attention_block(
                    tuple(int(i) for i in statics.con_idx),
                    interpret=gab_impl.endswith("_interpret"),
                    precs=resolve_tiers(prec, KERNEL_OPS),
-                   tile_budget=gab_tile_budget)
+                   tile_budget=gab_tile_budget, form=gab_kernel_form)
             if restore_f32:
                 y = y.astype(jnp.float32)
             return y, state
@@ -414,7 +415,8 @@ def graph_attention_block(
             tuple(int(i) for i in statics.sym_idx),
             tuple(int(i) for i in statics.con_idx),
             interpret=gab_impl.endswith("_interpret"),
-            precs=resolve_tiers(prec, KERNEL_OPS))
+            precs=resolve_tiers(prec, KERNEL_OPS),
+            form=gab_kernel_form)
         s_local = state["local"]  # eval mode: BN state untouched
     else:
         local, s_local = local_graph(

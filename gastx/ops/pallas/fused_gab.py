@@ -104,11 +104,52 @@ def _local_weight_tables(e: jnp.ndarray, mask_idx, j: int):
     return w_self, w_nbr, col, (valid & ~is_diag)
 
 
+def _roll_tables(w_nbr: jnp.ndarray, col, valid, j: int):
+    """Regroup the (J, D, C) neighbor tables by sublane shift.
+
+    The v2 kernel form computes the neighbor aggregation as full-tensor
+    rolls instead of J*D per-joint FMAs: ``h1[m, col[q, d], c]`` equals
+    ``roll(h1, -s, axis=1)[m, q, c]`` with ``s = (col[q, d] - q) mod J``,
+    and the skeleton graphs only use a handful of distinct shifts (the
+    mirror-symmetry pairs share one +/-s, the kinematic tree mostly
+    parent/child +/-1 plus a few hip/shoulder jumps). Returns the sorted
+    static shift tuple and a stacked (S, J, C) weight table with
+    ``table[si, q] = sum_d w_nbr[q, d] over entries whose shift == s_si``.
+    """
+    col = np.asarray(col)
+    valid = np.asarray(valid)
+    d = col.shape[1]
+    shift_of = (col - np.arange(j)[:, None]) % j      # (J, D)
+    shifts = sorted({int(s) for q in range(j) for dd in range(d)
+                     if valid[q, dd] for s in (shift_of[q, dd],)})
+    if not shifts:  # degenerate layout with no off-diagonal edges
+        return (0,), jnp.zeros((1, j, w_nbr.shape[-1]), w_nbr.dtype)
+    masks = np.stack([(shift_of == s) & valid for s in shifts])  # (S, J, D)
+    table = jnp.einsum("sqd,qdc->sqc", masks.astype(w_nbr.dtype), w_nbr)
+    return tuple(shifts), table
+
+
 # --------------------------------------------------------------------------
 # Kernel branch bodies, shared by the whole-block and split kernels. Each
 # takes the flat (TM*J, C) activations plus its VMEM weight refs and the
-# per-op `dot` closures, and returns flat activations.
+# per-op `dot` closures, and returns flat activations. Two forms exist:
+#
+#   * "v1" — the r3-certified form: per-joint static-slice FMAs for the
+#     local aggregation (J*(1+D) small VPU ops per sem conv), separate
+#     dots per weight matrix, one rank-1 score dot per head.
+#   * "v2" — compute-restructured (perf_lab17 attribution: the kernel
+#     path is compute/overhead-bound, not HBM-bound): the 4 local
+#     sem-conv dots merge into one (C, 4C) dot, the neighbor aggregation
+#     becomes ~O(distinct shifts) full-tensor rolls (see _roll_tables),
+#     theta/phi/g merge into one (C, K*(2I+G)) dot, and the 2K rank-1
+#     score dots collapse into two block-diagonal (K*I, K) dots. Same
+#     math; the only reordered f32 sums are the neighbor adds (grouped
+#     by shift instead of by d), so v1/v2 agree to roundoff.
 # --------------------------------------------------------------------------
+
+_LOCAL_NREFS = {"v1": 15, "v2": 12}
+_GLOBAL_NREFS = {"v1": 12, "v2": 8}
+
 
 def _local_branch(xr, tm, j, c, dot,
                   w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
@@ -136,6 +177,38 @@ def _local_branch(xr, tm, j, c, dot,
     b = jnp.maximum(b.reshape(tm * j, c) * bncon_scale_ref[:]
                     + bncon_shift_ref[:], 0.0)
     # 2C->C concat matmul as a sum of halves (no lane concat in-kernel)
+    local = dot(a, lcat_w_ref[0:c, :], "local_cat") + \
+        dot(b, lcat_w_ref[c:2 * c, :], "local_cat")
+    return jnp.maximum(local * lcat_scale_ref[:] + lcat_shift_ref[:], 0.0)
+
+
+def _local_branch_v2(xr, tm, j, c, dot,
+                     wloc_ref, wself_s_ref, wroll_s_ref,
+                     wself_c_ref, wroll_c_ref,
+                     bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
+                     bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
+                     lcat_shift_ref, shifts_sym, shifts_con):
+    # One (C, 4C) dot replaces the four (C, C) sem-conv dots; columns are
+    # [W0_sym | W1_sym | W0_con | W1_con], so each slice below is bitwise
+    # the corresponding v1 dot.
+    h = dot(xr, wloc_ref[:], "local_sem")
+
+    def agg(h0, h1, wself_ref, wroll_ref, shifts):
+        acc = h0 * wself_ref[:]
+        for si, s in enumerate(shifts):
+            # roll(h1, -s)[m, q] == h1[m, (q + s) % j] == h1[m, col[q, d]]
+            acc = acc + jnp.roll(h1, -s, axis=1) * wroll_ref[si]
+        return acc
+
+    a = agg(h[:, 0:c].reshape(tm, j, c), h[:, c:2 * c].reshape(tm, j, c),
+            wself_s_ref, wroll_s_ref, shifts_sym)
+    b = agg(h[:, 2 * c:3 * c].reshape(tm, j, c),
+            h[:, 3 * c:4 * c].reshape(tm, j, c),
+            wself_c_ref, wroll_c_ref, shifts_con)
+    a = jnp.maximum(a.reshape(tm * j, c) * bnsym_scale_ref[:]
+                    + bnsym_shift_ref[:], 0.0)
+    b = jnp.maximum(b.reshape(tm * j, c) * bncon_scale_ref[:]
+                    + bncon_shift_ref[:], 0.0)
     local = dot(a, lcat_w_ref[0:c, :], "local_cat") + \
         dot(b, lcat_w_ref[c:2 * c, :], "local_cat")
     return jnp.maximum(local * lcat_scale_ref[:] + lcat_shift_ref[:], 0.0)
@@ -172,6 +245,56 @@ def _global_branch(xr, tm, j, c, dot, dotg,
     return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
 
 
+def _global_branch_v2(xr, tm, j, c, dot, dotg,
+                      wqkv_ref, bqkv_ref, projt_blk_ref, projp_blk_ref,
+                      ck_ref, acat_w_ref, acat_scale_ref, acat_shift_ref,
+                      num_heads, inter, g_ch):
+    # One (C, K*(2I+G)) dot replaces the theta/phi/g projections; two
+    # block-diagonal (K*I, K) dots replace the 2K rank-1 per-head score
+    # dots (the off-block weights are exact zeros, so each score column
+    # equals its v1 per-head dot bitwise).
+    ki = num_heads * inter
+    h = dot(xr, wqkv_ref[:], "attn_proj") + bqkv_ref[:]
+    theta = h[:, 0:ki]
+    phi = h[:, ki:2 * ki]
+    gx = h[:, 2 * ki:].reshape(tm, j, num_heads * g_ch)
+    sa_all = dot(theta, projt_blk_ref[:], "attn_score")      # (TM*J, K)
+    sb_all = dot(phi, projp_blk_ref[:], "attn_score")
+
+    head_outs = []
+    for k in range(num_heads):
+        sa = sa_all[:, k:k + 1].reshape(tm, j, 1)
+        sb = sb_all[:, k:k + 1].reshape(tm, j, 1)
+        f = sa + jnp.swapaxes(sb, 1, 2)
+        f = jnp.where(f > 0, f, 0.2 * f)            # LeakyReLU(0.2)
+        f = f - jnp.max(f, axis=2, keepdims=True)
+        ef = jnp.exp(f)
+        attn = ef / jnp.sum(ef, axis=2, keepdims=True)
+        attn = attn + ck_ref[k * j:(k + 1) * j, :]
+        gk = gx[:, :, k * g_ch:(k + 1) * g_ch]
+        head_outs.append(dotg(
+            attn, gk, (((2,), (1,)), ((0,), (0,))), "attn_apply"))
+    gy = jnp.concatenate(head_outs, axis=2)
+    gy = dot(gy.reshape(tm * j, num_heads * g_ch), acat_w_ref[:], "attn_cat")
+    return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
+
+
+def _run_local(form, xr, tm, j, c, dot, lrefs, local_aux):
+    if form == "v2":
+        return _local_branch_v2(xr, tm, j, c, dot, *lrefs, *local_aux)
+    return _local_branch(xr, tm, j, c, dot, *lrefs, *local_aux)
+
+
+def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
+                num_heads, inter, g_ch):
+    if form == "v2":
+        return _global_branch_v2(xr, tm, j, c, dot, dotg, *grefs,
+                                 num_heads=num_heads, inter=inter,
+                                 g_ch=g_ch)
+    return _global_branch(xr, tm, j, c, dot, dotg, *grefs,
+                          num_heads=num_heads, inter=inter, g_ch=g_ch)
+
+
 def _block_concat(xr, local, globl, c, dot,
                   gcat_w_ref, gcat_scale_ref, gcat_shift_ref):
     # ---- block concat: [x, local, global] @ (3C -> 2C) ----
@@ -190,21 +313,14 @@ def _make_dots(tiers, interpret):
     return dot, dotg
 
 
-def _kernel(x_ref,
-            # local branch
-            w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-            w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
-            bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
-            bncon_shift_ref, lcat_w_ref, lcat_scale_ref, lcat_shift_ref,
-            # global branch
-            theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
-            g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
-            acat_scale_ref, acat_shift_ref,
-            # block concat
-            gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
-            out_ref, *,
+def _kernel(x_ref, *refs,
             num_heads: int, inter: int, g_ch: int, j: int,
-            col_sym, col_con, tiers, interpret: bool):
+            local_aux, tiers, interpret: bool, form: str):
+    out_ref = refs[-1]
+    nl = _LOCAL_NREFS[form]
+    lrefs = refs[:nl]
+    grefs = refs[nl:nl + _GLOBAL_NREFS[form]]
+    crefs = refs[nl + _GLOBAL_NREFS[form]:-1]
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
     # bf16-storage inputs upcast at the VMEM boundary: HBM moves half the
@@ -212,58 +328,39 @@ def _kernel(x_ref,
     xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
 
-    local = _local_branch(
-        xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
-        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
-        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
-    globl = _global_branch(
-        xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
-        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
-        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
-    y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
-                      gcat_shift_ref)
+    local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
+    globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
+                        num_heads, inter, g_ch)
+    y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
 
-def _kernel_local(x_ref,
-                  w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-                  w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
-                  bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
-                  bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
-                  lcat_shift_ref, out_ref, *,
-                  j: int, col_sym, col_con, tiers, interpret: bool):
+def _kernel_local(x_ref, *refs, j: int, local_aux, tiers,
+                  interpret: bool, form: str):
+    out_ref = refs[-1]
+    lrefs = refs[:-1]
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
     xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, _ = _make_dots(tiers, interpret)
-    local = _local_branch(
-        xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
-        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
-        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
+    local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
     out_ref[:] = local.reshape(tm, j, c).astype(out_ref.dtype)
 
 
-def _kernel_globcat(x_ref, local_ref,
-                    theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
-                    g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
-                    acat_scale_ref, acat_shift_ref,
-                    gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
-                    out_ref, *,
+def _kernel_globcat(x_ref, local_ref, *refs,
                     num_heads: int, inter: int, g_ch: int, j: int,
-                    tiers, interpret: bool):
+                    tiers, interpret: bool, form: str):
+    out_ref = refs[-1]
+    grefs = refs[:_GLOBAL_NREFS[form]]
+    crefs = refs[_GLOBAL_NREFS[form]:-1]
     tm = x_ref.shape[0]
     c = x_ref.shape[2]
     xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
     local = local_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
-    globl = _global_branch(
-        xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
-        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
-        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
-    y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
-                      gcat_shift_ref)
+    globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
+                        num_heads, inter, g_ch)
+    y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
 
@@ -309,6 +406,47 @@ def _local_ins(lp, state, sym_idx, con_idx, j_, c_):
     return ins, np.asarray(col_s), np.asarray(col_c)
 
 
+def _local_ins_v2(lp, state, sym_idx, con_idx, j_, c_):
+    """v2-form local inputs: merged (C, 4C) sem-conv weights + shift-grouped
+    roll tables. Returns (ins, (shifts_sym, shifts_con))."""
+    wself_s, wnbr_s, col_s, valid_s = _local_weight_tables(
+        lp["sym"]["e"], sym_idx, j_)
+    wself_c, wnbr_c, col_c, valid_c = _local_weight_tables(
+        lp["con"]["e"], con_idx, j_)
+    shifts_s, wroll_s = _roll_tables(wnbr_s, col_s, valid_s, j_)
+    shifts_c, wroll_c = _roll_tables(wnbr_c, col_c, valid_c, j_)
+    wloc = jnp.concatenate([lp["sym"]["W0"], lp["sym"]["W1"],
+                            lp["con"]["W0"], lp["con"]["W1"]], axis=1)
+    bnsym = _fold_bn(lp["bn_sym"], state["local"]["bn_sym"])
+    bncon = _fold_bn(lp["bn_con"], state["local"]["bn_con"])
+    lcat = _fold_bn(lp["cat_bn"], state["local"]["cat_bn"])
+    vm = pltpu.VMEM
+    ins = [
+        (wloc, pl.BlockSpec((c_, 4 * c_), _full, memory_space=vm)),
+        (wself_s, pl.BlockSpec((j_, c_), _full, memory_space=vm)),
+        (wroll_s, pl.BlockSpec(wroll_s.shape, _full3, memory_space=vm)),
+        (wself_c, pl.BlockSpec((j_, c_), _full, memory_space=vm)),
+        (wroll_c, pl.BlockSpec(wroll_c.shape, _full3, memory_space=vm)),
+        (bnsym[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bnsym[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bncon[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (bncon[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (lp["cat_w"], pl.BlockSpec((2 * c_, c_), _full, memory_space=vm)),
+        (lcat[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (lcat[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+    return ins, (shifts_s, shifts_c)
+
+
+def _local_ins_form(form, lp, state, sym_idx, con_idx, j_, c_):
+    """(ins, local_aux) for either kernel form; local_aux is the static
+    tuple the form's branch body takes after its refs."""
+    if form == "v2":
+        return _local_ins_v2(lp, state, sym_idx, con_idx, j_, c_)
+    ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
+    return ins, (col_s, col_c)
+
+
 def _global_ins(gp, state, j_, c_, k, inter, g_ch):
     acat = _fold_bn(gp["cat_bn"], state["global"]["cat_bn"])
     vm = pltpu.VMEM
@@ -339,6 +477,48 @@ def _global_ins(gp, state, j_, c_, k, inter, g_ch):
         (acat[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
         (acat[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
     ]
+
+
+def _global_ins_v2(gp, state, j_, c_, k, inter, g_ch):
+    """v2-form global inputs: one merged (C, K*(2I+G)) projection weight +
+    bias and block-diagonal (K*I, K) score projections."""
+    acat = _fold_bn(gp["cat_bn"], state["global"]["cat_bn"])
+    vm = pltpu.VMEM
+
+    def cols(w, width):  # (K, C, width) -> (C, K*width), k-major columns
+        return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
+
+    wqkv = jnp.concatenate([cols(gp["theta_w"], inter),
+                            cols(gp["phi_w"], inter),
+                            cols(gp["g_w"], g_ch)], axis=1)
+    bqkv = jnp.concatenate([gp["theta_b"].reshape(1, k * inter),
+                            gp["phi_b"].reshape(1, k * inter),
+                            gp["g_b"].reshape(1, k * g_ch)], axis=1)
+
+    def blkdiag(p):  # (K, I) -> (K*I, K): head h's vector in column h
+        eye = jnp.eye(k, dtype=p.dtype)
+        return (p[:, :, None] * eye[:, None, :]).reshape(k * inter, k)
+
+    nq = k * (2 * inter + g_ch)
+    return [
+        (wqkv, pl.BlockSpec((c_, nq), _full, memory_space=vm)),
+        (bqkv, pl.BlockSpec((1, nq), _full, memory_space=vm)),
+        (blkdiag(gp["proj_theta"]),
+         pl.BlockSpec((k * inter, k), _full, memory_space=vm)),
+        (blkdiag(gp["proj_phi"]),
+         pl.BlockSpec((k * inter, k), _full, memory_space=vm)),
+        (gp["C_k"].reshape(k * j_, j_),
+         pl.BlockSpec((k * j_, j_), _full, memory_space=vm)),
+        (gp["cat_w"], pl.BlockSpec((k * g_ch, c_), _full, memory_space=vm)),
+        (acat[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (acat[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+
+
+def _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch):
+    if form == "v2":
+        return _global_ins_v2(gp, state, j_, c_, k, inter, g_ch)
+    return _global_ins(gp, state, j_, c_, k, inter, g_ch)
 
 
 def _concat_ins(params, state, c_):
@@ -379,11 +559,13 @@ def _tile_rows(x, tile_rows, budget):
 
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
-                                    "tile_rows", "precs", "tile_budget"))
+                                    "tile_rows", "precs", "tile_budget",
+                                    "form"))
 def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
               sym_idx: tuple, con_idx: tuple, *,
               interpret: bool = False, tile_rows: int = 0,
-              precs: tuple = (), tile_budget: int = 2**12) -> jnp.ndarray:
+              precs: tuple = (), tile_budget: int = 2**12,
+              form: str = "v1") -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, 2C); eval-mode graph_attention_block.
 
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
@@ -407,8 +589,10 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     g_ch = gp["g_w"].shape[2]
     tiers = tiers_from_pairs(precs, KERNEL_OPS)
 
-    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
-    ins = local_ins + _global_ins(gp, state, j_, c_, k, inter, g_ch) \
+    local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
+                                           con_idx, j_, c_)
+    ins = local_ins + _global_ins_form(form, gp, state, j_, c_, k, inter,
+                                       g_ch) \
         + _concat_ins(params, state, c_)
 
     # Tile budget 2**12 (32 rows at C=128, 16 at C=256): the kernel's
@@ -421,8 +605,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=k, inter=inter, g_ch=g_ch,
-                          j=j_, col_sym=col_s, col_con=col_c, tiers=tiers,
-                          interpret=interpret),
+                          j=j_, local_aux=local_aux, tiers=tiers,
+                          interpret=interpret, form=form),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),
@@ -439,7 +623,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
 
 
 def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
-                   j: int, col_sym, col_con, tiers, interpret: bool):
+                   j: int, local_aux, tiers, interpret: bool, form: str):
     """Whole-block kernel on the PACKED (TM, J*C) layout.
 
     Identical math to :func:`_kernel`; only the HBM tile shapes differ —
@@ -449,44 +633,31 @@ def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
     in VMEM where the shuffle is ~free.
     """
     out_ref = refs[-1]
-    wrefs = refs[:-1]
+    nl = _LOCAL_NREFS[form]
+    lrefs = refs[:nl]
+    grefs = refs[nl:nl + _GLOBAL_NREFS[form]]
+    crefs = refs[nl + _GLOBAL_NREFS[form]:-1]
     tm = x_ref.shape[0]
     c = x_ref.shape[1] // j
     xr = x_ref[:].reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
 
-    (w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-     w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
-     bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
-     bncon_shift_ref, lcat_w_ref, lcat_scale_ref, lcat_shift_ref,
-     theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
-     g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
-     acat_scale_ref, acat_shift_ref,
-     gcat_w_ref, gcat_scale_ref, gcat_shift_ref) = wrefs
-
-    local = _local_branch(
-        xr, tm, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
-        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
-        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
-    globl = _global_branch(
-        xr, tm, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
-        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
-        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
-    y = _block_concat(xr, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
-                      gcat_shift_ref)
+    local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
+    globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
+                        num_heads, inter, g_ch)
+    y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j * 2 * c)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_joints", "sym_idx", "con_idx",
                                     "interpret", "tile_rows", "precs",
-                                    "tile_budget"))
+                                    "tile_budget", "form"))
 def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
                      num_joints: int, sym_idx: tuple, con_idx: tuple, *,
                      interpret: bool = False, tile_rows: int = 0,
-                     precs: tuple = (),
-                     tile_budget: int = 2**12) -> jnp.ndarray:
+                     precs: tuple = (), tile_budget: int = 2**12,
+                     form: str = "v1") -> jnp.ndarray:
     """Packed-layout whole-block kernel: (B, T, J*C) -> (B, T, J*2C).
 
     Same contract as :func:`fused_gab` but for activations kept in the
@@ -506,8 +677,10 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
     g_ch = gp["g_w"].shape[2]
     tiers = tiers_from_pairs(precs, KERNEL_OPS)
 
-    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
-    ins = local_ins + _global_ins(gp, state, j_, c_, k, inter, g_ch) \
+    local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
+                                           con_idx, j_, c_)
+    ins = local_ins + _global_ins_form(form, gp, state, j_, c_, k, inter,
+                                       g_ch) \
         + _concat_ins(params, state, c_)
 
     m_total = b_ * t_
@@ -520,8 +693,8 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
 
     out = pl.pallas_call(
         functools.partial(_kernel_packed, num_heads=k, inter=inter,
-                          g_ch=g_ch, j=j_, col_sym=col_s, col_con=col_c,
-                          tiers=tiers, interpret=interpret),
+                          g_ch=g_ch, j=j_, local_aux=local_aux,
+                          tiers=tiers, interpret=interpret, form=form),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_ * 2 * c_),
                                        jnp.float32),
         grid=(xf.shape[0] // tm,),
@@ -539,11 +712,11 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
 
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
-                                    "tile_rows", "precs"))
+                                    "tile_rows", "precs", "form"))
 def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
                        sym_idx: tuple, con_idx: tuple, *,
                        interpret: bool = False, tile_rows: int = 0,
-                       precs: tuple = ()) -> jnp.ndarray:
+                       precs: tuple = (), form: str = "v1") -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, C); eval-mode LOCAL branch only.
 
     The standalone local-branch kernel of :func:`fused_gab_split` — the
@@ -568,14 +741,15 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
     params, state = _ensure_f32(params), _ensure_f32(state)
     lp = params["local"]
     tiers = tiers_from_pairs(precs, KERNEL_OPS)
-    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
+    local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
+                                           con_idx, j_, c_)
 
     xf, tm, m_total, pad = _tile_rows(x, tile_rows, 2**13)
     vm = pltpu.VMEM
 
     local = pl.pallas_call(
-        functools.partial(_kernel_local, j=j_, col_sym=col_s, col_con=col_c,
-                          tiers=tiers, interpret=interpret),
+        functools.partial(_kernel_local, j=j_, local_aux=local_aux,
+                          tiers=tiers, interpret=interpret, form=form),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), x.dtype),
         grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
@@ -593,12 +767,13 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
 
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
-                                    "tile_rows", "precs", "tile_budget"))
+                                    "tile_rows", "precs", "tile_budget",
+                                    "form"))
 def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
                     sym_idx: tuple, con_idx: tuple, *,
                     interpret: bool = False, tile_rows: int = 0,
-                    precs: tuple = (),
-                    tile_budget: int = 2**12) -> jnp.ndarray:
+                    precs: tuple = (), tile_budget: int = 2**12,
+                    form: str = "v1") -> jnp.ndarray:
     """Same contract as :func:`fused_gab`, for MAX_FUSED_CHANNELS < C <=
     MAX_SPLIT_CHANNELS (the C=512 widest level of every shipped config).
 
@@ -617,8 +792,9 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     g_ch = gp["g_w"].shape[2]
     tiers = tiers_from_pairs(precs, KERNEL_OPS)
 
-    local_ins, col_s, col_c = _local_ins(lp, state, sym_idx, con_idx, j_, c_)
-    glob_ins = _global_ins(gp, state, j_, c_, k, inter, g_ch) \
+    local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
+                                           con_idx, j_, c_)
+    glob_ins = _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch) \
         + _concat_ins(params, state, c_)
 
     # Small row tiles (8 at C=512): the global+concat kernel holds
@@ -628,8 +804,8 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     vm = pltpu.VMEM
 
     local = pl.pallas_call(
-        functools.partial(_kernel_local, j=j_, col_sym=col_s, col_con=col_c,
-                          tiers=tiers, interpret=interpret),
+        functools.partial(_kernel_local, j=j_, local_aux=local_aux,
+                          tiers=tiers, interpret=interpret, form=form),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, c_), x.dtype),
         grid=(xf.shape[0] // tm,),
         in_specs=[pl.BlockSpec((tm, j_, c_), lambda i: (i, 0, 0),
@@ -642,7 +818,8 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
 
     out = pl.pallas_call(
         functools.partial(_kernel_globcat, num_heads=k, inter=inter,
-                          g_ch=g_ch, j=j_, tiers=tiers, interpret=interpret),
+                          g_ch=g_ch, j=j_, tiers=tiers, interpret=interpret,
+                          form=form),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),

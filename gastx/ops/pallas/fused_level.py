@@ -44,9 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gastx.ops.pallas.fused_gab import (
-    MAX_FUSED_CHANNELS, _block_concat, _concat_ins, _ensure_f32, _fold_bn,
-    _full, _global_branch, _global_ins, _local_branch, _local_ins,
-    _make_dots)
+    _GLOBAL_NREFS, _LOCAL_NREFS, MAX_FUSED_CHANNELS, _block_concat,
+    _concat_ins, _ensure_f32, _fold_bn, _full, _global_ins_form,
+    _local_ins_form, _make_dots, _run_global, _run_local)
 from gastx.ops.pallas.precision import tiers_from_pairs
 
 # The conv-chain dots, by the model's precision-override op classes
@@ -55,26 +55,17 @@ from gastx.ops.pallas.precision import tiers_from_pairs
 LEVEL_OPS = ("temporal", "mid1x1")
 
 
-def _kernel_level(x_ref,
-                  # conv chain
-                  wt_ref, bnt_scale_ref, bnt_shift_ref,
-                  w1_ref, bn1_scale_ref, bn1_shift_ref,
-                  # local branch
-                  w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-                  w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
-                  bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
-                  bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
-                  lcat_shift_ref,
-                  # global branch
-                  theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
-                  g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
-                  acat_scale_ref, acat_shift_ref,
-                  # block concat
-                  gcat_w_ref, gcat_scale_ref, gcat_shift_ref,
-                  out_ref, *,
+def _kernel_level(x_ref, *refs,
                   fw: int, dilation: int, res_off: int, t_out: int,
                   num_heads: int, inter: int, g_ch: int, j: int,
-                  col_sym, col_con, tiers, interpret: bool):
+                  local_aux, tiers, interpret: bool, form: str):
+    out_ref = refs[-1]
+    (wt_ref, bnt_scale_ref, bnt_shift_ref,
+     w1_ref, bn1_scale_ref, bn1_shift_ref) = refs[:6]
+    nl = _LOCAL_NREFS[form]
+    lrefs = refs[6:6 + nl]
+    grefs = refs[6 + nl:6 + nl + _GLOBAL_NREFS[form]]
+    crefs = refs[6 + nl + _GLOBAL_NREFS[form]:-1]
     c = x_ref.shape[-1]
     rows = t_out * j
     xr = x_ref[0].astype(jnp.float32)            # (T_in*J, C)
@@ -96,29 +87,22 @@ def _kernel_level(x_ref,
     # shifted for causal configs.
     y1 = xr[res_off * j:res_off * j + rows, :] + z
 
-    local = _local_branch(
-        y1, t_out, j, c, dot, w0s_ref, w1s_ref, wself_s_ref, wnbr_s_ref,
-        w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref, bnsym_scale_ref,
-        bnsym_shift_ref, bncon_scale_ref, bncon_shift_ref, lcat_w_ref,
-        lcat_scale_ref, lcat_shift_ref, col_sym, col_con)
-    globl = _global_branch(
-        y1, t_out, j, c, dot, dotg, theta_w_ref, phi_w_ref, g_w_ref,
-        theta_b_ref, phi_b_ref, g_b_ref, proj_t_ref, proj_p_ref, ck_ref,
-        acat_w_ref, acat_scale_ref, acat_shift_ref, num_heads, inter, g_ch)
-    y = _block_concat(y1, local, globl, c, dot, gcat_w_ref, gcat_scale_ref,
-                      gcat_shift_ref)
+    local = _run_local(form, y1, t_out, j, c, dot, lrefs, local_aux)
+    globl = _run_global(form, y1, t_out, j, c, dot, dotg, grefs,
+                        num_heads, inter, g_ch)
+    y = _block_concat(y1, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(1, rows, 2 * c).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("fw", "dilation", "res_off", "sym_idx",
-                                    "con_idx", "interpret", "precs"))
+                                    "con_idx", "interpret", "precs", "form"))
 def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
                 gab_params: Dict, gab_state: Dict,
                 sym_idx: tuple, con_idx: tuple, *,
                 fw: int, dilation: int, res_off: int,
                 interpret: bool = False,
-                precs: tuple = ()) -> jnp.ndarray:
+                precs: tuple = (), form: str = "v1") -> jnp.ndarray:
     """One architecture level, fused: (B, T, J, C) -> (B, T', J, 2C) with
     T' = T - (fw-1)*dilation.
 
@@ -156,18 +140,18 @@ def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
         (bn1[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
         (bn1[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
     ]
-    local_ins, col_s, col_c = _local_ins(lp, gab_state, sym_idx, con_idx,
-                                         j_, c_)
+    local_ins, local_aux = _local_ins_form(form, lp, gab_state, sym_idx,
+                                           con_idx, j_, c_)
     ins = conv_ins + local_ins \
-        + _global_ins(gp, gab_state, j_, c_, k, inter, g_ch) \
+        + _global_ins_form(form, gp, gab_state, j_, c_, k, inter, g_ch) \
         + _concat_ins(gab_params, gab_state, c_)
 
     xf = x.reshape(b_, t_in * j_, c_)
     out = pl.pallas_call(
         functools.partial(_kernel_level, fw=fw, dilation=dilation,
                           res_off=res_off, t_out=t_out, num_heads=k,
-                          inter=inter, g_ch=g_ch, j=j_, col_sym=col_s,
-                          col_con=col_c, tiers=tiers, interpret=interpret),
+                          inter=inter, g_ch=g_ch, j=j_, local_aux=local_aux,
+                          tiers=tiers, interpret=interpret, form=form),
         out_shape=jax.ShapeDtypeStruct((b_, t_out * j_, 2 * c_), x.dtype),
         grid=(b_,),
         in_specs=[pl.BlockSpec((1, t_in * j_, c_), lambda i: (i, 0, 0),

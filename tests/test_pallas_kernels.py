@@ -318,3 +318,59 @@ def test_pallas_head_attention_matches_xla(level, t):
     y, _ = G.multi_global_graph(x, gp, gs, train=True, dropout_rate=0.0,
                                 impl="pallas_head_interpret")
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("num_joints,layout", [(17, "h36m17"),
+                                               (15, "humaneva15")])
+def test_kernel_form_v2_matches_v1(num_joints, layout):
+    """The compute-restructured "v2" kernel form (merged wide dots,
+    roll-based local aggregation, block-diagonal score projections —
+    gastx/ops/pallas/fused_gab.py _local_branch_v2/_global_branch_v2)
+    computes the same block as the r3-certified "v1" form: only the
+    neighbor-sum order differs (grouped by sublane shift instead of by
+    adjacency slot), so the forms agree to f32 roundoff on every entry
+    point and the XLA path stays the reference."""
+    import dataclasses
+
+    from gastx.models import graph_statics
+    from gastx.models.gastnet import gastnet_forward
+    from gastx.ops.pallas.fused_gab import fused_gab, fused_gab_split
+
+    cfg = GastNetConfig(num_joints_in=num_joints,
+                        num_joints_out=num_joints, layout=layout,
+                        dropout=0.0, gab_impl="pallas_interpret")
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    statics = graph_statics(cfg.layout)
+    sym = tuple(int(i) for i in statics.sym_idx)
+    con = tuple(int(i) for i in statics.con_idx)
+    rng = np.random.default_rng(7)
+
+    # per-kernel: whole-block at C=128 and the split form at C=512
+    x0 = jnp.asarray(
+        rng.standard_normal((2, 25, num_joints, 128)).astype(np.float32))
+    gp0, gs0 = params["gabs"][0], state["gabs"][0]
+    ref, _ = G.graph_attention_block(x0, gp0, gs0, statics,
+                                     train=False, dropout_rate=0.0)
+    v2 = fused_gab(x0, gp0, gs0, sym, con, interpret=True, form="v2")
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(ref), atol=1e-5,
+                               rtol=1e-4)
+
+    x2 = jnp.asarray(
+        rng.standard_normal((2, 1, num_joints, 512)).astype(np.float32))
+    gp2, gs2 = params["gabs"][2], state["gabs"][2]
+    v1 = fused_gab_split(x2, gp2, gs2, sym, con, interpret=True, form="v1")
+    v2 = fused_gab_split(x2, gp2, gs2, sym, con, interpret=True, form="v2")
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5,
+                               rtol=1e-5)
+
+    # full forward, both fused routes (per-GAB and level-fused)
+    x = jnp.asarray(
+        rng.standard_normal((2, 27, num_joints, 2)).astype(np.float32))
+    for impl in ("pallas_interpret", "pallas_level_interpret"):
+        c1 = dataclasses.replace(cfg, gab_impl=impl)
+        c2 = dataclasses.replace(c1, gab_kernel_form="v2")
+        a = gastnet_forward(params, state, x, c1,
+                            variant="dilated", train=False)[0]
+        b = gastnet_forward(params, state, x, c2,
+                            variant="dilated", train=False)[0]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)

@@ -62,6 +62,17 @@ class GastNetConfig:
     # compute/overhead-bound, which v2 targets; see perf_lab18 for the
     # on-chip A/B.
     gab_kernel_form: str = "v1"
+    # Heads per batched softmax chain inside the fused kernels (v1 form):
+    # the per-head LeakyReLU/softmax/+C_k chains concat along the sublane
+    # (query-joint) axis and run as ONE VPU chain per group — bitwise-
+    # identical math (CI + on-chip verified 0.0 delta). perf_lab20
+    # attributed 8.1 of gab0's 32.4 ms to the 8 per-head chains (per-op
+    # dispatch on (TM,17,128)-padded slivers); the on-chip sweep
+    # (perf_lab21) measured gab0 32.38/25.28/24.75/24.69 ms at group
+    # 1/2/4/8 and the full 27f production forward 17,846 vs 14,418 seq/s
+    # (+24%) at group 8 — the all-heads group is the default. Clamped to
+    # num_heads per level.
+    gab_softmax_group: int = 8
     # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
     # whose graph-block input width C is <= this threshold keep
     # activations as (B, T, J*C) — J in lanes — instead of (B, T, J, C),
@@ -241,6 +252,19 @@ TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
 # the safe preset — kept as an alias for API compatibility.
 TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = \
     TPU_MIXED_PRECISION_OVERRIDES
+
+# 2-pass error-compensated tiers that exist only inside the Pallas
+# kernels (gastx/ops/pallas/precision.py): "high_lhs" keeps the
+# activations exact and rounds the weights to bf16, "high_rhs" the
+# reverse. XLA has no matching Precision enum, so model resolvers map
+# them to "high" on XLA paths (gastnet._forward) — valid in
+# precision_overrides, NOT as the base matmul_precision.
+KERNEL_ONLY_TIERS: Tuple[str, ...] = ("high_lhs", "high_rhs")
+
+
+def xla_precision(tier):
+    """The XLA-side tier for a possibly kernel-only precision tier."""
+    return "high" if tier in KERNEL_ONLY_TIERS else tier
 
 
 class GraphStatics(NamedTuple):

@@ -24,7 +24,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gastx.models.config import GastNetConfig, graph_statics
+from gastx.models.config import GastNetConfig, graph_statics, xla_precision
 from gastx.ops.batchnorm import batch_norm
 from gastx.ops.graph import _dropout, graph_attention_block
 from gastx.ops.temporal import pointwise, temporal_conv
@@ -120,7 +120,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
         y, params["gabs"][0], state["gabs"][0], j, sym, con,
         interpret=interpret, tile_budget=cfg.gab_tile_budget,
         precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS),
-        form=cfg.gab_kernel_form)
+        form=cfg.gab_kernel_form,
+        softmax_group=cfg.gab_softmax_group)
 
     next_dilation = fw[0]
     i = 1
@@ -152,7 +153,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
             y, params["gabs"][i], state["gabs"][i], j, sym, con,
             interpret=interpret, tile_budget=cfg.gab_tile_budget,
             precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS),
-            form=cfg.gab_kernel_form)
+            form=cfg.gab_kernel_form,
+            softmax_group=cfg.gab_softmax_group)
         next_dilation *= fw[i]
         i += 1
 
@@ -166,14 +168,24 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     fw = cfg.filter_widths
     pads = cfg.pads()
     shifts = cfg.causal_shifts(variant)
-    prec = cfg.precision_for
+    # Resolvers map the kernel-only 2-pass tiers ("high_lhs"/"high_rhs")
+    # to "high" for XLA matmul sites; the raw resolver rides along as
+    # ``.kernel_raw`` so resolve_tiers (the Pallas-kernel side) sees the
+    # unmapped tier (gastx/ops/pallas/precision.py).
+    def prec(op: str):
+        return xla_precision(cfg.precision_for(op))
+    prec.kernel_raw = cfg.precision_for
 
     def level_prec(tag: str):
         """Resolver with a level-qualified override (e.g. "gab1.attn_proj")
         taking priority over the bare op class."""
-        def p(op: str):
+        def raw(op: str):
             v = cfg.precision_for(f"{tag}.{op}")
             return v if v is not None else cfg.precision_for(op)
+
+        def p(op: str):
+            return xla_precision(raw(op))
+        p.kernel_raw = raw
         return p
 
     def block_rng(i: int):
@@ -216,6 +228,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
             gab_kernel_form=cfg.gab_kernel_form,
+            gab_softmax_group=cfg.gab_softmax_group,
             prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
@@ -269,7 +282,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
                 interpret=cfg.gab_impl.endswith("_interpret"),
                 precs=(resolve_tiers(lp, LEVEL_OPS)
                        + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)),
-                form=cfg.gab_kernel_form)
+                form=cfg.gab_kernel_form,
+                softmax_group=cfg.gab_softmax_group)
             # Eval mode: BN state untouched on the fused path.
             temporal_states.append(blk_s)
             gab_states.append(state["gabs"][i])
@@ -302,6 +316,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
             gab_kernel_form=cfg.gab_kernel_form,
+            gab_softmax_group=cfg.gab_softmax_group,
             prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})

@@ -326,6 +326,7 @@ def graph_attention_block(
     gab_tile_budget: int = 4096,
     gab_io_dtype: str = "float32",
     gab_kernel_form: str = "v1",
+    gab_softmax_group: int = 1,
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
@@ -397,7 +398,8 @@ def graph_attention_block(
                    tuple(int(i) for i in statics.con_idx),
                    interpret=gab_impl.endswith("_interpret"),
                    precs=resolve_tiers(prec, KERNEL_OPS),
-                   tile_budget=gab_tile_budget, form=gab_kernel_form)
+                   tile_budget=gab_tile_budget, form=gab_kernel_form,
+                   softmax_group=gab_softmax_group)
             if restore_f32:
                 y = y.astype(jnp.float32)
             return y, state

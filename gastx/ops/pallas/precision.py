@@ -8,11 +8,19 @@ must carry an explicit precision. ``kdot``/``kdot_general`` map the model's
 per-op precision-tier strings (GastNetConfig.matmul_precision /
 precision_overrides) onto Mosaic-compilable dots:
 
-  "default" -> one bf16 x bf16 -> f32 MXU pass (Precision.DEFAULT)
-  "high"    -> 3-pass error-compensated bf16 product — the same algorithm
-               XLA:TPU uses for HIGH: with a = ah + al (ah = bf16(a)),
-               a@b ~= ah@bh + ah@bl + al@bh
-  "highest" -> Precision.HIGHEST (6-pass)
+  "default"  -> one bf16 x bf16 -> f32 MXU pass (Precision.DEFAULT)
+  "high"     -> 3-pass error-compensated bf16 product — the same algorithm
+                XLA:TPU uses for HIGH: with a = ah + al (ah = bf16(a)),
+                a@b ~= ah@bh + ah@bl + al@bh
+  "high_lhs" -> 2-pass, lhs compensated: ah@bh + al@bh == a@bh exactly —
+                the lhs (activations) keeps full f32 precision, only the
+                rhs (weights) is rounded to bf16. 2/3 the MXU passes of
+                "high"; KERNEL-ONLY (XLA has no such tier — the model
+                maps it to "high" on XLA paths, see
+                gastx/models/config.py xla_precision).
+  "high_rhs" -> 2-pass, rhs compensated: ah@bh + ah@bl == ah@b — weights
+                exact, activations rounded. KERNEL-ONLY, as above.
+  "highest"  -> Precision.HIGHEST (6-pass)
 
 With ``interpret=True`` the "high" emulation is skipped (plain HIGHEST dot):
 interpret mode runs f32 on CPU where XLA's tiers are all exact anyway, so
@@ -33,10 +41,15 @@ def resolve_tiers(prec_fn: Callable[[str], Optional[str]],
 
     ``prec_fn`` is the model's per-op-class resolver (None = no override);
     unresolved ops inherit the ambient ``jax.default_matmul_precision``
-    context ("default" when unset — XLA's own fallback).
+    context ("default" when unset — XLA's own fallback). If the resolver
+    carries a ``.kernel_raw`` attribute (the model's XLA-safe resolvers
+    do), that unmapped form is used so kernel-only tiers
+    ("high_lhs"/"high_rhs") reach the kernels instead of their "high"
+    XLA mapping.
     """
+    raw = getattr(prec_fn, "kernel_raw", prec_fn)
     base = jax.config.jax_default_matmul_precision or "default"
-    return tuple((op, prec_fn(op) or base) for op in ops)
+    return tuple((op, raw(op) or base) for op in ops)
 
 
 def tiers_from_pairs(precs: Tuple[Tuple[str, str], ...],
@@ -56,17 +69,27 @@ def _split_bf16(a):
     return hi, lo
 
 
+_EMULATED = ("high", "high_lhs", "high_rhs")
+
+
+def _emulated(d, a, b, tier):
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    if tier == "high_lhs":
+        return d(ah, bh) + d(al, bh)
+    if tier == "high_rhs":
+        return d(ah, bh) + d(ah, bl)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def kdot(a, b, tier: str = "default", *, interpret: bool = False):
     """2-D ``jnp.dot`` with an explicit Mosaic-supported precision tier."""
-    if tier == "high" and not interpret:
-        ah, al = _split_bf16(a)
-        bh, bl = _split_bf16(b)
-
+    if tier in _EMULATED and not interpret:
         def d(u, v):
             return jnp.dot(u, v, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.DEFAULT)
-        return d(ah, bh) + d(ah, bl) + d(al, bh)
-    p = (jax.lax.Precision.HIGHEST if tier in ("high", "highest")
+        return _emulated(d, a, b, tier)
+    p = (jax.lax.Precision.HIGHEST if tier in _EMULATED + ("highest",)
          else jax.lax.Precision.DEFAULT)
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=p)
 
@@ -74,16 +97,13 @@ def kdot(a, b, tier: str = "default", *, interpret: bool = False):
 def kdot_general(a, b, dims, tier: str = "default", *,
                  interpret: bool = False):
     """``jax.lax.dot_general`` with an explicit precision tier."""
-    if tier == "high" and not interpret:
-        ah, al = _split_bf16(a)
-        bh, bl = _split_bf16(b)
-
+    if tier in _EMULATED and not interpret:
         def d(u, v):
             return jax.lax.dot_general(
                 u, v, dims, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
-        return d(ah, bh) + d(ah, bl) + d(al, bh)
-    p = (jax.lax.Precision.HIGHEST if tier in ("high", "highest")
+        return _emulated(d, a, b, tier)
+    p = (jax.lax.Precision.HIGHEST if tier in _EMULATED + ("highest",)
          else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(a, b, dims,
                                preferred_element_type=jnp.float32,

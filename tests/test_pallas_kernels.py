@@ -374,3 +374,121 @@ def test_kernel_form_v2_matches_v1(num_joints, layout):
         b = gastnet_forward(params, state, x, c2,
                             variant="dilated", train=False)[0]
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_softmax_group_bitwise_equal():
+    """gab_softmax_group batches the per-head LeakyReLU/softmax/+C_k
+    chains across heads (concat along the sublane axis -> one VPU chain
+    per group -> static slices back). Same ops on the same values, so
+    every group size must be BITWISE equal to the ungrouped kernel on
+    both fused routes (perf_lab21 confirms the same on-chip)."""
+    import dataclasses
+
+    from gastx.models import graph_statics
+    from gastx.models.gastnet import gastnet_forward
+    from gastx.ops.pallas.fused_gab import fused_gab
+
+    cfg = GastNetConfig(dropout=0.0, gab_impl="pallas_interpret")
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    statics = graph_statics(cfg.layout)
+    sym = tuple(int(i) for i in statics.sym_idx)
+    con = tuple(int(i) for i in statics.con_idx)
+    rng = np.random.default_rng(11)
+
+    x0 = jnp.asarray(rng.standard_normal((2, 25, 17, 128)).astype(np.float32))
+    gp0, gs0 = params["gabs"][0], state["gabs"][0]
+    base = np.asarray(fused_gab(x0, gp0, gs0, sym, con, interpret=True,
+                                softmax_group=1))
+    for g in (2, 4, 8):
+        got = np.asarray(fused_gab(x0, gp0, gs0, sym, con, interpret=True,
+                                   softmax_group=g))
+        np.testing.assert_array_equal(got, base)
+
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+    for impl in ("pallas_interpret", "pallas_level_interpret"):
+        c1 = dataclasses.replace(cfg, gab_impl=impl)
+        c8 = dataclasses.replace(c1, gab_softmax_group=8)
+        a = gastnet_forward(params, state, x, c1,
+                            variant="dilated", train=False)[0]
+        b = gastnet_forward(params, state, x, c8,
+                            variant="dilated", train=False)[0]
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_kdot_two_pass_tiers():
+    """The kernel-only 2-pass compensated tiers: "high_lhs" keeps the lhs
+    exact (ah@bh + al@bh == a@bf16(b)) and "high_rhs" the rhs. Checked on
+    CPU against float64 references with the appropriate operand rounded,
+    plus the error ordering default > 2-pass > high."""
+    from gastx.models.config import KERNEL_ONLY_TIERS, xla_precision
+    from gastx.ops.pallas.precision import kdot, resolve_tiers
+
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal((96, 128)).astype(np.float32)
+    b = rng.standard_normal((128, 64)).astype(np.float32)
+    a64, b64 = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    bh64 = np.asarray(
+        jnp.asarray(b).astype(jnp.bfloat16).astype(jnp.float32), np.float64)
+    ah64 = np.asarray(
+        jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32), np.float64)
+    exact = a64 @ b64
+    scale = np.abs(exact).max()
+
+    lhs = np.asarray(kdot(jnp.asarray(a), jnp.asarray(b), "high_lhs"))
+    rhs = np.asarray(kdot(jnp.asarray(a), jnp.asarray(b), "high_rhs"))
+    # 2-pass == exact product with one operand bf16-rounded (f32 accum)
+    assert np.abs(lhs - a64 @ bh64).max() / scale < 5e-6
+    assert np.abs(rhs - ah64 @ b64).max() / scale < 5e-6
+
+    err_lhs = np.abs(lhs - exact).max() / scale
+    err_high = np.abs(np.asarray(
+        kdot(jnp.asarray(a), jnp.asarray(b), "high")) - exact).max() / scale
+    err_1pass = np.abs(ah64 @ bh64 - exact).max() / scale
+    assert err_high < err_lhs < err_1pass
+
+    # model-side mapping: XLA matmul sites see "high", kernels the raw tier
+    for t in KERNEL_ONLY_TIERS:
+        assert xla_precision(t) == "high"
+    assert xla_precision("default") == "default"
+
+    def raw(op):
+        return "high_lhs" if op == "temporal" else None
+
+    def mapped(op):
+        return xla_precision(raw(op))
+    mapped.kernel_raw = raw
+    tiers = dict(resolve_tiers(mapped, ("temporal", "mid1x1")))
+    assert tiers["temporal"] == "high_lhs"  # kernels get the raw tier
+
+
+def test_two_pass_tier_full_forward_runs():
+    """A config carrying a kernel-only tier override runs end-to-end on
+    both the XLA path (where it must resolve to "high" — XLA has no such
+    enum) and the interpret kernel path (where tiers are exact anyway),
+    and the two agree with the plain-"high" config exactly on CPU."""
+    import dataclasses
+
+    from gastx.models import config_for_frames
+    from gastx.models.gastnet import gastnet_forward
+
+    base = dataclasses.replace(
+        config_for_frames(27, dropout=0.0), storage_dtype="float32",
+        precision_overrides=(), gab_impl="xla")
+    two = dataclasses.replace(
+        base, precision_overrides=(("temporal", "high_lhs"),
+                                   ("mid1x1", "high_rhs")))
+    params, state = init_gastnet(jax.random.PRNGKey(0), base)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    a = gastnet_forward(params, state, x, base,
+                        variant="dilated", train=False)[0]
+    b = gastnet_forward(params, state, x, two,
+                        variant="dilated", train=False)[0]
+    # CPU XLA tiers are all exact f32: identical once mapped to "high"
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    klev = dataclasses.replace(two, gab_impl="pallas_level_interpret")
+    c = gastnet_forward(params, state, x, klev,
+                        variant="dilated", train=False)[0]
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-5)

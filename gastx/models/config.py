@@ -73,6 +73,14 @@ class GastNetConfig:
     # (+24%) at group 8 — the all-heads group is the default. Clamped to
     # num_heads per level.
     gab_softmax_group: int = 8
+    # Replace each softmax group's G per-head apply dots with ONE blocked
+    # (TM, G*J, J) @ (TM, J, G*g_ch) dot + diagonal-block extraction —
+    # bitwise-identical per block (the per-head dots pad g_ch -> 128
+    # lanes, so the blocked form's off-diagonal volume is already paid
+    # as padding). MOSAIC-BLOCKED on this host's remote compile service
+    # (perf_lab22: deterministic HTTP 500 in seconds, 3 attempts) —
+    # interpret-verified opt-in for future Mosaic versions.
+    gab_apply_block: bool = False
     # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
     # whose graph-block input width C is <= this threshold keep
     # activations as (B, T, J*C) — J in lanes — instead of (B, T, J, C),
@@ -216,7 +224,7 @@ class GastNetConfig:
 #
 #   preset              seq/s   max err             note
 #   all "high"          10643   0.0013 mm           training / bit-studies
-#   TPU_MIXED (below)   14418   0.0632 mm (24 seed) inference default (level-fused kernels; 14074 with per-GAB kernels)
+#   TPU_MIXED (below)   18098   0.0577 mm (24 seed) inference default (level-fused kernels + softmax_group=8 + high_rhs convs; 14418 before the r3 batched-softmax/2-pass adoptions)
 #   + attn_cat default  14441   0.1088 mm (24 seed) REJECTED r3: tail over budget
 #   + attn_proj default 14002   0.124 mm  (8 seed)  REJECTED: over budget
 #   all "default"       15642   0.16 mm   (8 seed)  REJECTED: over budget
@@ -242,10 +250,20 @@ class GastNetConfig:
 # shallower channel widths shorten the bf16 dot accumulations, so the
 # 27f/ch128 figure is the binding one (promoting attn_cat only tightens
 # these).
+#
+# r3 kernel-side refinement (scripts/perf_lab19.py): the conv-chain ops
+# run at "high_rhs" — the 2-pass KERNEL-ONLY compensated tier (weights
+# exact, activations bf16-rounded; see KERNEL_ONLY_TIERS below). Inside
+# the level-fused kernels this cuts one MXU pass per conv dot; on XLA
+# matmul sites it resolves to "high", so the XLA path is bitwise
+# unchanged. Measured on-chip stacked on gab_softmax_group=8: 18,098 vs
+# 17,846 seq/s (+1.4%) at 0.0577 mm worst of 24 seeds ("high_lhs":
+# 18,034 at 0.0603 — high_rhs wins both).
 TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
     ("local_sem", "default"), ("local_off", "default"),
     ("local_cat", "default"), ("attn_score", "default"),
     ("attn_apply", "default"),
+    ("temporal", "high_rhs"), ("mid1x1", "high_rhs"),
 )
 # Historical name: the r2 "conservative" preset. Since the r3 24-seed
 # re-certification promoted attn_cat to "high", the production preset IS

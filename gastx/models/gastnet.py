@@ -121,7 +121,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
         interpret=interpret, tile_budget=cfg.gab_tile_budget,
         precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS),
         form=cfg.gab_kernel_form,
-        softmax_group=cfg.gab_softmax_group)
+        softmax_group=cfg.gab_softmax_group,
+        apply_block=cfg.gab_apply_block)
 
     next_dilation = fw[0]
     i = 1
@@ -154,7 +155,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
             interpret=interpret, tile_budget=cfg.gab_tile_budget,
             precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS),
             form=cfg.gab_kernel_form,
-            softmax_group=cfg.gab_softmax_group)
+            softmax_group=cfg.gab_softmax_group,
+        apply_block=cfg.gab_apply_block)
         next_dilation *= fw[i]
         i += 1
 
@@ -229,6 +231,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_io_dtype=cfg.gab_io_dtype,
             gab_kernel_form=cfg.gab_kernel_form,
             gab_softmax_group=cfg.gab_softmax_group,
+            gab_apply_block=cfg.gab_apply_block,
             prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
@@ -283,7 +286,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
                 precs=(resolve_tiers(lp, LEVEL_OPS)
                        + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)),
                 form=cfg.gab_kernel_form,
-                softmax_group=cfg.gab_softmax_group)
+                softmax_group=cfg.gab_softmax_group,
+        apply_block=cfg.gab_apply_block)
             # Eval mode: BN state untouched on the fused path.
             temporal_states.append(blk_s)
             gab_states.append(state["gabs"][i])
@@ -317,6 +321,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_io_dtype=cfg.gab_io_dtype,
             gab_kernel_form=cfg.gab_kernel_form,
             gab_softmax_group=cfg.gab_softmax_group,
+            gab_apply_block=cfg.gab_apply_block,
             prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})

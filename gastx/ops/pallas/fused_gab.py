@@ -218,7 +218,8 @@ def _global_branch(xr, tm, j, c, dot, dotg,
                    theta_w_ref, phi_w_ref, g_w_ref, theta_b_ref, phi_b_ref,
                    g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
                    acat_scale_ref, acat_shift_ref,
-                   num_heads, inter, g_ch, softmax_group=1):
+                   num_heads, inter, g_ch, softmax_group=1,
+                   apply_block=False):
     # ---- global branch (same structure as global_attn._kernel) ----
     # ``softmax_group`` batches the per-head LeakyReLU/softmax/+C_k chains
     # across G heads at a time by concatenating the G (TM, J, J) score
@@ -227,6 +228,12 @@ def _global_branch(xr, tm, j, c, dot, dotg,
     # (TM, J, J) slivers. Bitwise-identical math — perf_lab20 measured
     # the 8 per-head chains at 8.1 ms of gab0's 32.4 ms (per-op dispatch
     # overhead on tiny tiles), which this amortizes.
+    # ``apply_block`` further replaces the group's G per-head apply dots
+    # with ONE blocked dot (TM, G*J, J) @ (TM, J, G*g_ch) and extracts
+    # the G diagonal (J, g_ch) blocks: each block's contraction is the
+    # same f32 sum as its per-head dot (bitwise), and since per-head
+    # dots pad g_ch -> 128 lanes anyway, the blocked dot's extra
+    # off-diagonal volume is already being paid as padding.
     theta = dot(xr, theta_w_ref[:], "attn_proj") + theta_b_ref[:]
     phi = dot(xr, phi_w_ref[:], "attn_proj") + phi_b_ref[:]
     gx = (dot(xr, g_w_ref[:], "attn_proj")
@@ -252,11 +259,20 @@ def _global_branch(xr, tm, j, c, dot, dotg,
         attn = ef / jnp.sum(ef, axis=2, keepdims=True)
         attn = attn + ck_ref[k0 * j:(k0 + len(fs)) * j, :].reshape(
             1, len(fs) * j, j)
-        for i, k in enumerate(ks):
-            ak = attn if len(fs) == 1 else attn[:, i * j:(i + 1) * j, :]
-            gk = gx[:, :, k * g_ch:(k + 1) * g_ch]
-            head_outs.append(dotg(
-                ak, gk, (((2,), (1,)), ((0,), (0,))), "attn_apply"))
+        if apply_block and len(fs) > 1:
+            gx_grp = gx[:, :, k0 * g_ch:(k0 + len(fs)) * g_ch]
+            out_blk = dotg(attn, gx_grp,
+                           (((2,), (1,)), ((0,), (0,))), "attn_apply")
+            for i, k in enumerate(ks):
+                head_outs.append(
+                    out_blk[:, i * j:(i + 1) * j,
+                            i * g_ch:(i + 1) * g_ch])
+        else:
+            for i, k in enumerate(ks):
+                ak = attn if len(fs) == 1 else attn[:, i * j:(i + 1) * j, :]
+                gk = gx[:, :, k * g_ch:(k + 1) * g_ch]
+                head_outs.append(dotg(
+                    ak, gk, (((2,), (1,)), ((0,), (0,))), "attn_apply"))
     gy = jnp.concatenate(head_outs, axis=2)
     gy = dot(gy.reshape(tm * j, num_heads * g_ch), acat_w_ref[:], "attn_cat")
     return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
@@ -303,14 +319,16 @@ def _run_local(form, xr, tm, j, c, dot, lrefs, local_aux):
 
 
 def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
-                num_heads, inter, g_ch, softmax_group=1):
+                num_heads, inter, g_ch, softmax_group=1,
+                apply_block=False):
     if form == "v2":
         return _global_branch_v2(xr, tm, j, c, dot, dotg, *grefs,
                                  num_heads=num_heads, inter=inter,
                                  g_ch=g_ch)
     return _global_branch(xr, tm, j, c, dot, dotg, *grefs,
                           num_heads=num_heads, inter=inter, g_ch=g_ch,
-                          softmax_group=softmax_group)
+                          softmax_group=softmax_group,
+                          apply_block=apply_block)
 
 
 def _block_concat(xr, local, globl, c, dot,
@@ -334,7 +352,7 @@ def _make_dots(tiers, interpret):
 def _kernel(x_ref, *refs,
             num_heads: int, inter: int, g_ch: int, j: int,
             local_aux, tiers, interpret: bool, form: str,
-            softmax_group: int = 1):
+            softmax_group: int = 1, apply_block: bool = False):
     out_ref = refs[-1]
     nl = _LOCAL_NREFS[form]
     lrefs = refs[:nl]
@@ -349,7 +367,8 @@ def _kernel(x_ref, *refs,
 
     local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
-                        num_heads, inter, g_ch, softmax_group)
+                        num_heads, inter, g_ch, softmax_group,
+                        apply_block)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
@@ -369,7 +388,7 @@ def _kernel_local(x_ref, *refs, j: int, local_aux, tiers,
 def _kernel_globcat(x_ref, local_ref, *refs,
                     num_heads: int, inter: int, g_ch: int, j: int,
                     tiers, interpret: bool, form: str,
-                    softmax_group: int = 1):
+                    softmax_group: int = 1, apply_block: bool = False):
     out_ref = refs[-1]
     grefs = refs[:_GLOBAL_NREFS[form]]
     crefs = refs[_GLOBAL_NREFS[form]:-1]
@@ -379,7 +398,8 @@ def _kernel_globcat(x_ref, local_ref, *refs,
     local = local_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
-                        num_heads, inter, g_ch, softmax_group)
+                        num_heads, inter, g_ch, softmax_group,
+                        apply_block)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
@@ -580,12 +600,14 @@ def _tile_rows(x, tile_rows, budget):
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs", "tile_budget",
-                                    "form", "softmax_group"))
+                                    "form", "softmax_group",
+                                    "apply_block"))
 def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
               sym_idx: tuple, con_idx: tuple, *,
               interpret: bool = False, tile_rows: int = 0,
               precs: tuple = (), tile_budget: int = 2**12,
-              form: str = "v1", softmax_group: int = 1) -> jnp.ndarray:
+              form: str = "v1", softmax_group: int = 1,
+              apply_block: bool = False) -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, 2C); eval-mode graph_attention_block.
 
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
@@ -627,7 +649,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
         functools.partial(_kernel, num_heads=k, inter=inter, g_ch=g_ch,
                           j=j_, local_aux=local_aux, tiers=tiers,
                           interpret=interpret, form=form,
-                          softmax_group=softmax_group),
+                          softmax_group=softmax_group,
+                          apply_block=apply_block),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),
@@ -645,7 +668,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
 
 def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
                    j: int, local_aux, tiers, interpret: bool, form: str,
-                   softmax_group: int = 1):
+                   softmax_group: int = 1, apply_block: bool = False):
     """Whole-block kernel on the PACKED (TM, J*C) layout.
 
     Identical math to :func:`_kernel`; only the HBM tile shapes differ —
@@ -666,7 +689,8 @@ def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
 
     local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
-                        num_heads, inter, g_ch, softmax_group)
+                        num_heads, inter, g_ch, softmax_group,
+                        apply_block)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j * 2 * c)
 
@@ -674,13 +698,14 @@ def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
 @functools.partial(jax.jit,
                    static_argnames=("num_joints", "sym_idx", "con_idx",
                                     "interpret", "tile_rows", "precs",
-                                    "tile_budget", "form", "softmax_group"))
+                                    "tile_budget", "form", "softmax_group",
+                                    "apply_block"))
 def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
                      num_joints: int, sym_idx: tuple, con_idx: tuple, *,
                      interpret: bool = False, tile_rows: int = 0,
                      precs: tuple = (), tile_budget: int = 2**12,
-                     form: str = "v1",
-                     softmax_group: int = 1) -> jnp.ndarray:
+                     form: str = "v1", softmax_group: int = 1,
+                     apply_block: bool = False) -> jnp.ndarray:
     """Packed-layout whole-block kernel: (B, T, J*C) -> (B, T, J*2C).
 
     Same contract as :func:`fused_gab` but for activations kept in the
@@ -718,7 +743,8 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
         functools.partial(_kernel_packed, num_heads=k, inter=inter,
                           g_ch=g_ch, j=j_, local_aux=local_aux,
                           tiers=tiers, interpret=interpret, form=form,
-                          softmax_group=softmax_group),
+                          softmax_group=softmax_group,
+                          apply_block=apply_block),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_ * 2 * c_),
                                        jnp.float32),
         grid=(xf.shape[0] // tm,),
@@ -792,12 +818,14 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs", "tile_budget",
-                                    "form", "softmax_group"))
+                                    "form", "softmax_group",
+                                    "apply_block"))
 def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
                     sym_idx: tuple, con_idx: tuple, *,
                     interpret: bool = False, tile_rows: int = 0,
                     precs: tuple = (), tile_budget: int = 2**12,
-                    form: str = "v1", softmax_group: int = 1) -> jnp.ndarray:
+                    form: str = "v1", softmax_group: int = 1,
+              apply_block: bool = False) -> jnp.ndarray:
     """Same contract as :func:`fused_gab`, for MAX_FUSED_CHANNELS < C <=
     MAX_SPLIT_CHANNELS (the C=512 widest level of every shipped config).
 
@@ -843,7 +871,8 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
     out = pl.pallas_call(
         functools.partial(_kernel_globcat, num_heads=k, inter=inter,
                           g_ch=g_ch, j=j_, tiers=tiers, interpret=interpret,
-                          form=form, softmax_group=softmax_group),
+                          form=form, softmax_group=softmax_group,
+                          apply_block=apply_block),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),

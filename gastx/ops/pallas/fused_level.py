@@ -59,7 +59,7 @@ def _kernel_level(x_ref, *refs,
                   fw: int, dilation: int, res_off: int, t_out: int,
                   num_heads: int, inter: int, g_ch: int, j: int,
                   local_aux, tiers, interpret: bool, form: str,
-                  softmax_group: int = 1):
+                  softmax_group: int = 1, apply_block: bool = False):
     out_ref = refs[-1]
     (wt_ref, bnt_scale_ref, bnt_shift_ref,
      w1_ref, bn1_scale_ref, bn1_shift_ref) = refs[:6]
@@ -90,7 +90,8 @@ def _kernel_level(x_ref, *refs,
 
     local = _run_local(form, y1, t_out, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, y1, t_out, j, c, dot, dotg, grefs,
-                        num_heads, inter, g_ch, softmax_group)
+                        num_heads, inter, g_ch, softmax_group,
+                        apply_block)
     y = _block_concat(y1, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(1, rows, 2 * c).astype(out_ref.dtype)
 
@@ -98,14 +99,16 @@ def _kernel_level(x_ref, *refs,
 @functools.partial(jax.jit,
                    static_argnames=("fw", "dilation", "res_off", "sym_idx",
                                     "con_idx", "interpret", "precs", "form",
-                                    "softmax_group"))
+                                    "softmax_group",
+                                    "apply_block"))
 def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
                 gab_params: Dict, gab_state: Dict,
                 sym_idx: tuple, con_idx: tuple, *,
                 fw: int, dilation: int, res_off: int,
                 interpret: bool = False,
                 precs: tuple = (), form: str = "v1",
-                softmax_group: int = 1) -> jnp.ndarray:
+                softmax_group: int = 1,
+                apply_block: bool = False) -> jnp.ndarray:
     """One architecture level, fused: (B, T, J, C) -> (B, T', J, 2C) with
     T' = T - (fw-1)*dilation.
 
@@ -155,7 +158,8 @@ def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
                           res_off=res_off, t_out=t_out, num_heads=k,
                           inter=inter, g_ch=g_ch, j=j_, local_aux=local_aux,
                           tiers=tiers, interpret=interpret, form=form,
-                          softmax_group=softmax_group),
+                          softmax_group=softmax_group,
+                          apply_block=apply_block),
         out_shape=jax.ShapeDtypeStruct((b_, t_out * j_, 2 * c_), x.dtype),
         grid=(b_,),
         in_specs=[pl.BlockSpec((1, t_in * j_, c_), lambda i: (i, 0, 0),

@@ -403,6 +403,11 @@ def test_softmax_group_bitwise_equal():
         got = np.asarray(fused_gab(x0, gp0, gs0, sym, con, interpret=True,
                                    softmax_group=g))
         np.testing.assert_array_equal(got, base)
+        # blocked apply: one (TM, G*J, J) @ (TM, J, G*g_ch) dot + diagonal
+        # block extraction — each block's contraction is the same f32 sum
+        got = np.asarray(fused_gab(x0, gp0, gs0, sym, con, interpret=True,
+                                   softmax_group=g, apply_block=True))
+        np.testing.assert_array_equal(got, base)
 
     x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
     for impl in ("pallas_interpret", "pallas_level_interpret"):

@@ -81,6 +81,15 @@ class GastNetConfig:
     # (perf_lab22: deterministic HTTP 500 in seconds, 3 attempts) —
     # interpret-verified opt-in for future Mosaic versions.
     gab_apply_block: bool = False
+    # Replace the 2K rank-1 per-head score dots with TWO block-diagonal
+    # (K*I, K) dots — the v2 form's dispatch win without its slower
+    # roll-based local branch. Off-block weights are exact zeros (same
+    # products) but the zero slots regroup the f32 accumulation tree, so
+    # scores agree to 1-2 ulp, NOT bitwise (interpret CI allclose test).
+    # MEASURED SLOWER on-chip (perf_lab24: 27f 17,430 vs 18,089 seq/s;
+    # the 8x-wider contraction outweighs the saved sliver dispatches) —
+    # stays opt-in, same lesson as gab_kernel_form="v2".
+    gab_score_block: bool = False
     # Packed narrow-level layout (eval/dilated only, EXPERIMENTAL): levels
     # whose graph-block input width C is <= this threshold keep
     # activations as (B, T, J*C) — J in lanes — instead of (B, T, J, C),

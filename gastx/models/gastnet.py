@@ -122,7 +122,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
         precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS),
         form=cfg.gab_kernel_form,
         softmax_group=cfg.gab_softmax_group,
-        apply_block=cfg.gab_apply_block)
+        apply_block=cfg.gab_apply_block,
+        score_block=cfg.gab_score_block)
 
     next_dilation = fw[0]
     i = 1
@@ -156,7 +157,8 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
             precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS),
             form=cfg.gab_kernel_form,
             softmax_group=cfg.gab_softmax_group,
-        apply_block=cfg.gab_apply_block)
+            apply_block=cfg.gab_apply_block,
+            score_block=cfg.gab_score_block)
         next_dilation *= fw[i]
         i += 1
 
@@ -232,6 +234,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_kernel_form=cfg.gab_kernel_form,
             gab_softmax_group=cfg.gab_softmax_group,
             gab_apply_block=cfg.gab_apply_block,
+            gab_score_block=cfg.gab_score_block,
             prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
@@ -287,7 +290,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
                        + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)),
                 form=cfg.gab_kernel_form,
                 softmax_group=cfg.gab_softmax_group,
-        apply_block=cfg.gab_apply_block)
+                apply_block=cfg.gab_apply_block,
+                score_block=cfg.gab_score_block)
             # Eval mode: BN state untouched on the fused path.
             temporal_states.append(blk_s)
             gab_states.append(state["gabs"][i])
@@ -322,6 +326,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_kernel_form=cfg.gab_kernel_form,
             gab_softmax_group=cfg.gab_softmax_group,
             gab_apply_block=cfg.gab_apply_block,
+            gab_score_block=cfg.gab_score_block,
             prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})

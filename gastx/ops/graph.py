@@ -328,6 +328,7 @@ def graph_attention_block(
     gab_kernel_form: str = "v1",
     gab_softmax_group: int = 1,
     gab_apply_block: bool = False,
+    gab_score_block: bool = False,
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
@@ -401,7 +402,8 @@ def graph_attention_block(
                    precs=resolve_tiers(prec, KERNEL_OPS),
                    tile_budget=gab_tile_budget, form=gab_kernel_form,
                    softmax_group=gab_softmax_group,
-                   apply_block=gab_apply_block)
+                   apply_block=gab_apply_block,
+                   score_block=gab_score_block)
             if restore_f32:
                 y = y.astype(jnp.float32)
             return y, state

@@ -219,7 +219,7 @@ def _global_branch(xr, tm, j, c, dot, dotg,
                    g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
                    acat_scale_ref, acat_shift_ref,
                    num_heads, inter, g_ch, softmax_group=1,
-                   apply_block=False):
+                   apply_block=False, score_block=False):
     # ---- global branch (same structure as global_attn._kernel) ----
     # ``softmax_group`` batches the per-head LeakyReLU/softmax/+C_k chains
     # across G heads at a time by concatenating the G (TM, J, J) score
@@ -234,10 +234,19 @@ def _global_branch(xr, tm, j, c, dot, dotg,
     # same f32 sum as its per-head dot (bitwise), and since per-head
     # dots pad g_ch -> 128 lanes anyway, the blocked dot's extra
     # off-diagonal volume is already being paid as padding.
+    # ``score_block`` replaces the 2K rank-1 per-head score dots with TWO
+    # block-diagonal (K*I, K) dots (the v2 form's one dispatch win, without
+    # its slower roll-based local branch): the off-block weights are exact
+    # zeros so the products match, but the interleaved zero slots regroup
+    # the f32 accumulation tree — scores agree to 1-2 ulp, NOT bitwise
+    # (adoption therefore needs its own on-chip error certification).
     theta = dot(xr, theta_w_ref[:], "attn_proj") + theta_b_ref[:]
     phi = dot(xr, phi_w_ref[:], "attn_proj") + phi_b_ref[:]
     gx = (dot(xr, g_w_ref[:], "attn_proj")
           + g_b_ref[:]).reshape(tm, j, num_heads * g_ch)
+    if score_block:
+        sa_all = dot(theta, proj_t_ref[:], "attn_score")     # (TM*J, K)
+        sb_all = dot(phi, proj_p_ref[:], "attn_score")
 
     grp = max(1, min(softmax_group, num_heads))
     head_outs = []
@@ -245,12 +254,16 @@ def _global_branch(xr, tm, j, c, dot, dotg,
         ks = range(k0, min(k0 + grp, num_heads))
         fs = []
         for k in ks:
-            tk = theta[:, k * inter:(k + 1) * inter]
-            pk = phi[:, k * inter:(k + 1) * inter]
-            sa = dot(tk, proj_t_ref[:, k:k + 1],
-                     "attn_score").reshape(tm, j, 1)
-            sb = dot(pk, proj_p_ref[:, k:k + 1],
-                     "attn_score").reshape(tm, j, 1)
+            if score_block:
+                sa = sa_all[:, k:k + 1].reshape(tm, j, 1)
+                sb = sb_all[:, k:k + 1].reshape(tm, j, 1)
+            else:
+                tk = theta[:, k * inter:(k + 1) * inter]
+                pk = phi[:, k * inter:(k + 1) * inter]
+                sa = dot(tk, proj_t_ref[:, k:k + 1],
+                         "attn_score").reshape(tm, j, 1)
+                sb = dot(pk, proj_p_ref[:, k:k + 1],
+                         "attn_score").reshape(tm, j, 1)
             fs.append(sa + jnp.swapaxes(sb, 1, 2))
         f = fs[0] if len(fs) == 1 else jnp.concatenate(fs, axis=1)
         f = jnp.where(f > 0, f, 0.2 * f)            # LeakyReLU(0.2)
@@ -320,7 +333,7 @@ def _run_local(form, xr, tm, j, c, dot, lrefs, local_aux):
 
 def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                 num_heads, inter, g_ch, softmax_group=1,
-                apply_block=False):
+                apply_block=False, score_block=False):
     if form == "v2":
         return _global_branch_v2(xr, tm, j, c, dot, dotg, *grefs,
                                  num_heads=num_heads, inter=inter,
@@ -328,7 +341,8 @@ def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
     return _global_branch(xr, tm, j, c, dot, dotg, *grefs,
                           num_heads=num_heads, inter=inter, g_ch=g_ch,
                           softmax_group=softmax_group,
-                          apply_block=apply_block)
+                          apply_block=apply_block,
+                          score_block=score_block)
 
 
 def _block_concat(xr, local, globl, c, dot,
@@ -352,7 +366,8 @@ def _make_dots(tiers, interpret):
 def _kernel(x_ref, *refs,
             num_heads: int, inter: int, g_ch: int, j: int,
             local_aux, tiers, interpret: bool, form: str,
-            softmax_group: int = 1, apply_block: bool = False):
+            softmax_group: int = 1, apply_block: bool = False,
+            score_block: bool = False):
     out_ref = refs[-1]
     nl = _LOCAL_NREFS[form]
     lrefs = refs[:nl]
@@ -368,7 +383,7 @@ def _kernel(x_ref, *refs,
     local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                         num_heads, inter, g_ch, softmax_group,
-                        apply_block)
+                        apply_block, score_block)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
@@ -388,7 +403,8 @@ def _kernel_local(x_ref, *refs, j: int, local_aux, tiers,
 def _kernel_globcat(x_ref, local_ref, *refs,
                     num_heads: int, inter: int, g_ch: int, j: int,
                     tiers, interpret: bool, form: str,
-                    softmax_group: int = 1, apply_block: bool = False):
+                    softmax_group: int = 1, apply_block: bool = False,
+                    score_block: bool = False):
     out_ref = refs[-1]
     grefs = refs[:_GLOBAL_NREFS[form]]
     crefs = refs[_GLOBAL_NREFS[form]:-1]
@@ -399,7 +415,7 @@ def _kernel_globcat(x_ref, local_ref, *refs,
     dot, dotg = _make_dots(tiers, interpret)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                         num_heads, inter, g_ch, softmax_group,
-                        apply_block)
+                        apply_block, score_block)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
@@ -487,12 +503,28 @@ def _local_ins_form(form, lp, state, sym_idx, con_idx, j_, c_):
     return ins, (col_s, col_c)
 
 
-def _global_ins(gp, state, j_, c_, k, inter, g_ch):
+def _blkdiag(p, k, inter):  # (K, I) -> (K*I, K): head h's vector in column h
+    eye = jnp.eye(k, dtype=p.dtype)
+    return (p[:, :, None] * eye[:, None, :]).reshape(k * inter, k)
+
+
+def _global_ins(gp, state, j_, c_, k, inter, g_ch, score_block=False):
     acat = _fold_bn(gp["cat_bn"], state["global"]["cat_bn"])
     vm = pltpu.VMEM
 
     def cols(w, width):  # (K, C, width) -> (C, K*width), k-major columns
         return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
+
+    # score_block swaps the (I, K) per-head score projections for their
+    # block-diagonal (K*I, K) form consumed by the batched score dots.
+    if score_block:
+        proj_t = _blkdiag(gp["proj_theta"], k, inter)
+        proj_p = _blkdiag(gp["proj_phi"], k, inter)
+        proj_spec = pl.BlockSpec((k * inter, k), _full, memory_space=vm)
+    else:
+        proj_t = jnp.transpose(gp["proj_theta"])
+        proj_p = jnp.transpose(gp["proj_phi"])
+        proj_spec = pl.BlockSpec((inter, k), _full, memory_space=vm)
 
     return [
         (cols(gp["theta_w"], inter),
@@ -507,10 +539,8 @@ def _global_ins(gp, state, j_, c_, k, inter, g_ch):
          pl.BlockSpec((1, k * inter), _full, memory_space=vm)),
         (gp["g_b"].reshape(1, k * g_ch),
          pl.BlockSpec((1, k * g_ch), _full, memory_space=vm)),
-        (jnp.transpose(gp["proj_theta"]),
-         pl.BlockSpec((inter, k), _full, memory_space=vm)),
-        (jnp.transpose(gp["proj_phi"]),
-         pl.BlockSpec((inter, k), _full, memory_space=vm)),
+        (proj_t, proj_spec),
+        (proj_p, proj_spec),
         (gp["C_k"].reshape(k * j_, j_),
          pl.BlockSpec((k * j_, j_), _full, memory_space=vm)),
         (gp["cat_w"], pl.BlockSpec((k * g_ch, c_), _full, memory_space=vm)),
@@ -535,17 +565,13 @@ def _global_ins_v2(gp, state, j_, c_, k, inter, g_ch):
                             gp["phi_b"].reshape(1, k * inter),
                             gp["g_b"].reshape(1, k * g_ch)], axis=1)
 
-    def blkdiag(p):  # (K, I) -> (K*I, K): head h's vector in column h
-        eye = jnp.eye(k, dtype=p.dtype)
-        return (p[:, :, None] * eye[:, None, :]).reshape(k * inter, k)
-
     nq = k * (2 * inter + g_ch)
     return [
         (wqkv, pl.BlockSpec((c_, nq), _full, memory_space=vm)),
         (bqkv, pl.BlockSpec((1, nq), _full, memory_space=vm)),
-        (blkdiag(gp["proj_theta"]),
+        (_blkdiag(gp["proj_theta"], k, inter),
          pl.BlockSpec((k * inter, k), _full, memory_space=vm)),
-        (blkdiag(gp["proj_phi"]),
+        (_blkdiag(gp["proj_phi"], k, inter),
          pl.BlockSpec((k * inter, k), _full, memory_space=vm)),
         (gp["C_k"].reshape(k * j_, j_),
          pl.BlockSpec((k * j_, j_), _full, memory_space=vm)),
@@ -555,10 +581,12 @@ def _global_ins_v2(gp, state, j_, c_, k, inter, g_ch):
     ]
 
 
-def _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch):
+def _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch,
+                     score_block=False):
     if form == "v2":
         return _global_ins_v2(gp, state, j_, c_, k, inter, g_ch)
-    return _global_ins(gp, state, j_, c_, k, inter, g_ch)
+    return _global_ins(gp, state, j_, c_, k, inter, g_ch,
+                       score_block=score_block)
 
 
 def _concat_ins(params, state, c_):
@@ -601,13 +629,14 @@ def _tile_rows(x, tile_rows, budget):
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs", "tile_budget",
                                     "form", "softmax_group",
-                                    "apply_block"))
+                                    "apply_block", "score_block"))
 def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
               sym_idx: tuple, con_idx: tuple, *,
               interpret: bool = False, tile_rows: int = 0,
               precs: tuple = (), tile_budget: int = 2**12,
               form: str = "v1", softmax_group: int = 1,
-              apply_block: bool = False) -> jnp.ndarray:
+              apply_block: bool = False,
+              score_block: bool = False) -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, 2C); eval-mode graph_attention_block.
 
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
@@ -634,7 +663,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
                                            con_idx, j_, c_)
     ins = local_ins + _global_ins_form(form, gp, state, j_, c_, k, inter,
-                                       g_ch) \
+                                       g_ch, score_block=score_block) \
         + _concat_ins(params, state, c_)
 
     # Tile budget 2**12 (32 rows at C=128, 16 at C=256): the kernel's
@@ -650,7 +679,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
                           j=j_, local_aux=local_aux, tiers=tiers,
                           interpret=interpret, form=form,
                           softmax_group=softmax_group,
-                          apply_block=apply_block),
+                          apply_block=apply_block,
+                          score_block=score_block),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),
@@ -668,7 +698,8 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
 
 def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
                    j: int, local_aux, tiers, interpret: bool, form: str,
-                   softmax_group: int = 1, apply_block: bool = False):
+                   softmax_group: int = 1, apply_block: bool = False,
+                   score_block: bool = False):
     """Whole-block kernel on the PACKED (TM, J*C) layout.
 
     Identical math to :func:`_kernel`; only the HBM tile shapes differ —
@@ -690,7 +721,7 @@ def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
     local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                         num_heads, inter, g_ch, softmax_group,
-                        apply_block)
+                        apply_block, score_block)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j * 2 * c)
 
@@ -699,13 +730,14 @@ def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
                    static_argnames=("num_joints", "sym_idx", "con_idx",
                                     "interpret", "tile_rows", "precs",
                                     "tile_budget", "form", "softmax_group",
-                                    "apply_block"))
+                                    "apply_block", "score_block"))
 def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
                      num_joints: int, sym_idx: tuple, con_idx: tuple, *,
                      interpret: bool = False, tile_rows: int = 0,
                      precs: tuple = (), tile_budget: int = 2**12,
                      form: str = "v1", softmax_group: int = 1,
-                     apply_block: bool = False) -> jnp.ndarray:
+                     apply_block: bool = False,
+                     score_block: bool = False) -> jnp.ndarray:
     """Packed-layout whole-block kernel: (B, T, J*C) -> (B, T, J*2C).
 
     Same contract as :func:`fused_gab` but for activations kept in the
@@ -728,7 +760,7 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
     local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
                                            con_idx, j_, c_)
     ins = local_ins + _global_ins_form(form, gp, state, j_, c_, k, inter,
-                                       g_ch) \
+                                       g_ch, score_block=score_block) \
         + _concat_ins(params, state, c_)
 
     m_total = b_ * t_
@@ -744,7 +776,8 @@ def fused_gab_packed(x: jnp.ndarray, params: Dict, state: Dict,
                           g_ch=g_ch, j=j_, local_aux=local_aux,
                           tiers=tiers, interpret=interpret, form=form,
                           softmax_group=softmax_group,
-                          apply_block=apply_block),
+                          apply_block=apply_block,
+                          score_block=score_block),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_ * 2 * c_),
                                        jnp.float32),
         grid=(xf.shape[0] // tm,),
@@ -819,13 +852,14 @@ def fused_local_branch(x: jnp.ndarray, params: Dict, state: Dict,
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs", "tile_budget",
                                     "form", "softmax_group",
-                                    "apply_block"))
+                                    "apply_block", "score_block"))
 def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
                     sym_idx: tuple, con_idx: tuple, *,
                     interpret: bool = False, tile_rows: int = 0,
                     precs: tuple = (), tile_budget: int = 2**12,
                     form: str = "v1", softmax_group: int = 1,
-              apply_block: bool = False) -> jnp.ndarray:
+                    apply_block: bool = False,
+                    score_block: bool = False) -> jnp.ndarray:
     """Same contract as :func:`fused_gab`, for MAX_FUSED_CHANNELS < C <=
     MAX_SPLIT_CHANNELS (the C=512 widest level of every shipped config).
 
@@ -846,7 +880,8 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
 
     local_ins, local_aux = _local_ins_form(form, lp, state, sym_idx,
                                            con_idx, j_, c_)
-    glob_ins = _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch) \
+    glob_ins = _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch,
+                                score_block=score_block) \
         + _concat_ins(params, state, c_)
 
     # Small row tiles (8 at C=512): the global+concat kernel holds
@@ -872,7 +907,8 @@ def fused_gab_split(x: jnp.ndarray, params: Dict, state: Dict,
         functools.partial(_kernel_globcat, num_heads=k, inter=inter,
                           g_ch=g_ch, j=j_, tiers=tiers, interpret=interpret,
                           form=form, softmax_group=softmax_group,
-                          apply_block=apply_block),
+                          apply_block=apply_block,
+                          score_block=score_block),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),

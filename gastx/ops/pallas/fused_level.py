@@ -59,7 +59,8 @@ def _kernel_level(x_ref, *refs,
                   fw: int, dilation: int, res_off: int, t_out: int,
                   num_heads: int, inter: int, g_ch: int, j: int,
                   local_aux, tiers, interpret: bool, form: str,
-                  softmax_group: int = 1, apply_block: bool = False):
+                  softmax_group: int = 1, apply_block: bool = False,
+                  score_block: bool = False):
     out_ref = refs[-1]
     (wt_ref, bnt_scale_ref, bnt_shift_ref,
      w1_ref, bn1_scale_ref, bn1_shift_ref) = refs[:6]
@@ -91,7 +92,7 @@ def _kernel_level(x_ref, *refs,
     local = _run_local(form, y1, t_out, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, y1, t_out, j, c, dot, dotg, grefs,
                         num_heads, inter, g_ch, softmax_group,
-                        apply_block)
+                        apply_block, score_block)
     y = _block_concat(y1, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(1, rows, 2 * c).astype(out_ref.dtype)
 
@@ -100,7 +101,7 @@ def _kernel_level(x_ref, *refs,
                    static_argnames=("fw", "dilation", "res_off", "sym_idx",
                                     "con_idx", "interpret", "precs", "form",
                                     "softmax_group",
-                                    "apply_block"))
+                                    "apply_block", "score_block"))
 def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
                 gab_params: Dict, gab_state: Dict,
                 sym_idx: tuple, con_idx: tuple, *,
@@ -108,7 +109,8 @@ def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
                 interpret: bool = False,
                 precs: tuple = (), form: str = "v1",
                 softmax_group: int = 1,
-                apply_block: bool = False) -> jnp.ndarray:
+                apply_block: bool = False,
+                score_block: bool = False) -> jnp.ndarray:
     """One architecture level, fused: (B, T, J, C) -> (B, T', J, 2C) with
     T' = T - (fw-1)*dilation.
 
@@ -149,7 +151,8 @@ def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
     local_ins, local_aux = _local_ins_form(form, lp, gab_state, sym_idx,
                                            con_idx, j_, c_)
     ins = conv_ins + local_ins \
-        + _global_ins_form(form, gp, gab_state, j_, c_, k, inter, g_ch) \
+        + _global_ins_form(form, gp, gab_state, j_, c_, k, inter, g_ch,
+                           score_block=score_block) \
         + _concat_ins(gab_params, gab_state, c_)
 
     xf = x.reshape(b_, t_in * j_, c_)
@@ -159,7 +162,8 @@ def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
                           inter=inter, g_ch=g_ch, j=j_, local_aux=local_aux,
                           tiers=tiers, interpret=interpret, form=form,
                           softmax_group=softmax_group,
-                          apply_block=apply_block),
+                          apply_block=apply_block,
+                          score_block=score_block),
         out_shape=jax.ShapeDtypeStruct((b_, t_out * j_, 2 * c_), x.dtype),
         grid=(b_,),
         in_specs=[pl.BlockSpec((1, t_in * j_, c_), lambda i: (i, 0, 0),

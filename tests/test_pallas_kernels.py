@@ -408,6 +408,12 @@ def test_softmax_group_bitwise_equal():
         got = np.asarray(fused_gab(x0, gp0, gs0, sym, con, interpret=True,
                                    softmax_group=g, apply_block=True))
         np.testing.assert_array_equal(got, base)
+        # block-diagonal score dots: same products, but the interleaved
+        # zero slots regroup the f32 reduction tree -> 1-2 ulp on the
+        # scores (NOT bitwise; see config.gab_score_block)
+        got = np.asarray(fused_gab(x0, gp0, gs0, sym, con, interpret=True,
+                                   softmax_group=g, score_block=True))
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
 
     x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
     for impl in ("pallas_interpret", "pallas_level_interpret"):
@@ -418,6 +424,11 @@ def test_softmax_group_bitwise_equal():
         b = gastnet_forward(params, state, x, c8,
                             variant="dilated", train=False)[0]
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        csb = dataclasses.replace(c8, gab_score_block=True)
+        d = gastnet_forward(params, state, x, csb,
+                            variant="dilated", train=False)[0]
+        np.testing.assert_allclose(np.asarray(d), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_kdot_two_pass_tiers():

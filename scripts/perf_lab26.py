@@ -41,7 +41,10 @@ def _timed_scan(fn, *args, iters=ITERS):
     @jax.jit
     def many(*a):
         def body(carry, _):
-            out = fn(*a[:-1], a[-1] + carry * jnp.asarray(1e-6, a[-1].dtype))
+            # keep the perturbation in the input's dtype (a f32 carry
+            # would silently promote bf16 stage inputs to f32)
+            eps = carry.astype(a[-1].dtype) * jnp.asarray(1e-6, a[-1].dtype)
+            out = fn(*a[:-1], a[-1] + eps)
             return jnp.sum(out.astype(jnp.float32)), None
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return out

@@ -154,6 +154,23 @@ class GastNetConfig:
     # tighter (the conv chain's kernel dots replace the XLA "high" convs).
     # Training steps always take the XLA path.
     gab_impl: str = "xla"
+    # Optional PER-LEVEL override of gab_impl for the eval forward: one
+    # entry per level ("" or "inherit" falls back to gab_impl). Motivated
+    # by the r3 narrow-arch attribution (scripts/perf_lab26/27.py): per
+    # GAB stage at 243f/B=512 the bf16-XLA route wins at C=32 (99.7 vs
+    # 108.5 ms) and ties at C=64, while the f32-compute fused kernels win
+    # at C=128 (101.1 vs 114.4) and C=256 (97.0 vs 121.9) — so a hybrid
+    # route runs each level at its measured-fastest impl
+    # (scripts/perf_lab28.py measures the end-to-end combinations).
+    gab_impl_levels: Tuple[str, ...] = ()
+
+    def gab_impl_for(self, i: int) -> str:
+        """gab_impl for level ``i``: the per-level override when set."""
+        if i < len(self.gab_impl_levels):
+            v = self.gab_impl_levels[i]
+            if v and v != "inherit":
+                return v
+        return self.gab_impl
 
     def precision_for(self, op_class: str):
         """Override precision for an op class, or None to inherit the

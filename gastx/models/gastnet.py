@@ -229,7 +229,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             y, params["gabs"][0], state["gabs"][0], statics,
             train=train, dropout_rate=cfg.dropout, rng=block_rng(0),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-            gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
+            gab_impl=cfg.gab_impl_for(0),
+            gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
             gab_kernel_form=cfg.gab_kernel_form,
             gab_softmax_group=cfg.gab_softmax_group,
@@ -251,17 +252,19 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     # worst of 24 seeds vs 0.0631 — scripts/perf_lab16.py); bf16-storage
     # activations keep the measured-faster XLA route, and the VMEM gate
     # below falls back per-level for long sequences.
-    use_level_fuse = (
-        not train and variant == "dilated" and not cfg.dense
-        and (cfg.gab_impl in ("pallas_level", "pallas_level_interpret")
-             or (cfg.gab_impl == "auto"
-                 and jax.default_backend() == "tpu"
-                 and x.dtype == jnp.float32)))
+    level_fuse_ok = not train and variant == "dilated" and not cfg.dense
 
     for i in range(start, cfg.num_levels):
         blk_p = params["temporal"][i - 1]
         blk_s = state["temporal"][i - 1]
 
+        impl_i = cfg.gab_impl_for(i)
+        use_level_fuse = (
+            level_fuse_ok
+            and (impl_i in ("pallas_level", "pallas_level_interpret")
+                 or (impl_i == "auto"
+                     and jax.default_backend() == "tpu"
+                     and x.dtype == jnp.float32)))
         lp = level_prec(f"lvl{i}")
         ci = cfg.block_channels(i)
         # VMEM gate: the level kernel holds one sequence's T_out rows per
@@ -285,7 +288,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
                 tuple(int(v) for v in statics.con_idx),
                 fw=fw[i], dilation=next_dilation,
                 res_off=pads[i] + shifts[i],
-                interpret=cfg.gab_impl.endswith("_interpret"),
+                interpret=impl_i.endswith("_interpret"),
                 precs=(resolve_tiers(lp, LEVEL_OPS)
                        + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)),
                 form=cfg.gab_kernel_form,
@@ -321,7 +324,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             y, params["gabs"][i], state["gabs"][i], statics,
             train=train, dropout_rate=cfg.dropout, rng=block_rng(i),
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
-            gab_impl=cfg.gab_impl, gab_tile_budget=cfg.gab_tile_budget,
+            gab_impl=impl_i, gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
             gab_kernel_form=cfg.gab_kernel_form,
             gab_softmax_group=cfg.gab_softmax_group,

@@ -508,3 +508,34 @@ def test_two_pass_tier_full_forward_runs():
     c = gastnet_forward(params, state, x, klev,
                         variant="dilated", train=False)[0]
     np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-5)
+
+
+def test_gab_impl_levels_hybrid_matches_xla():
+    """gab_impl_levels (per-level routing, perf_lab27/28): a hybrid
+    forward — XLA narrow levels, fused-kernel wide levels — must match
+    the all-XLA forward. Mirrors the production 243f hybrid shape
+    (kernels on the C>=128 levels only), in interpret mode so it runs on
+    any backend, plus the level-fused impl mixed in."""
+    import dataclasses
+
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(dropout=0.0, filter_widths=(3, 3, 3), channels=32)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+
+    y_ref, s_ref = gastnet_forward(params, state, x, cfg,
+                                   variant="dilated", train=False)
+    for levels in (("", "pallas_interpret", "pallas_interpret"),
+                   ("xla", "pallas_level_interpret", "pallas_interpret")):
+        cfg_h = dataclasses.replace(cfg, gab_impl_levels=levels)
+        assert cfg_h.gab_impl_for(0) == "xla"
+        assert cfg_h.gab_impl_for(1) == levels[1]
+        y_got, s_got = gastnet_forward(params, state, x, cfg_h,
+                                       variant="dilated", train=False)
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                                   atol=1e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                        jax.tree_util.tree_leaves(s_got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

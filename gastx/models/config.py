@@ -9,6 +9,13 @@ import numpy as np
 
 from gastx.skeleton import get_layout, local_adjacencies
 
+# gab_impl values understood by the eval forward (gastx/ops/graph.py +
+# the level-fusion routing in gastnet._forward). Inside gab_impl_levels,
+# "" / "inherit" additionally mean "fall back to gab_impl".
+VALID_GAB_IMPLS = ("xla", "auto", "pallas", "pallas_interpret",
+                   "pallas_local", "pallas_local_interpret",
+                   "pallas_level", "pallas_level_interpret")
+
 
 @dataclass(frozen=True)
 class GastNetConfig:
@@ -189,6 +196,26 @@ class GastNetConfig:
                 f"layout {self.layout} has "
                 f"{get_layout(self.layout).num_joints} joints, expected "
                 f"{self.num_joints_in}")
+        if self.gab_impl not in VALID_GAB_IMPLS:
+            raise ValueError(
+                f"unknown gab_impl {self.gab_impl!r}; valid: "
+                f"{VALID_GAB_IMPLS}")
+        if len(self.gab_impl_levels) > self.num_levels:
+            raise ValueError(
+                f"gab_impl_levels has {len(self.gab_impl_levels)} entries "
+                f"for a {self.num_levels}-level architecture")
+        for v in self.gab_impl_levels:
+            if v not in VALID_GAB_IMPLS + ("", "inherit"):
+                raise ValueError(
+                    f"unknown gab_impl_levels entry {v!r}; valid: "
+                    f"{VALID_GAB_IMPLS + ('', 'inherit')}")
+        if self.packed_channels and any(
+                v not in ("", "inherit") for v in self.gab_impl_levels):
+            # The packed narrow-level prefix routes solely off gab_impl
+            # (it has no per-level kernel alternatives), so per-level
+            # overrides would be silently ignored there.
+            raise ValueError(
+                "gab_impl_levels is not supported with packed_channels")
 
     # --- derived geometry (model/gast_net.py:57,139-153) ---
 

@@ -20,7 +20,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_lab28.py
 from __future__ import annotations
 
 import dataclasses
-import sys
 import time
 
 import jax
@@ -128,17 +127,22 @@ def err(frames: int, combo_name: str):
 
 
 def main():
-    frames = [243, 81]
-    for a in sys.argv[1:]:
-        if a.startswith("--frames"):
-            frames = [int(v) for v in a.split("=", 1)[-1].split(",") if v]
-    err_combo = next((a.split("=", 1)[-1] for a in sys.argv[1:]
-                      if a.startswith("--err-combo")), "w23")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", default="243,81",
+                    help="comma-separated receptive fields (243,81)")
+    ap.add_argument("--err-combo", default="w23",
+                    help="combo name for the error sweep")
+    ap.add_argument("--err-only", action="store_true")
+    ap.add_argument("--speed-only", action="store_true")
+    a = ap.parse_args()
+    frames = [int(v) for v in a.frames.split(",") if v]
     for f in frames:
-        if "--err-only" not in sys.argv:
+        if not a.err_only:
             speed(f)
-        if "--speed-only" not in sys.argv:
-            err(f, err_combo if err_combo in dict(COMBOS[f]) else
+        if not a.speed_only:
+            err(f, a.err_combo if a.err_combo in dict(COMBOS[f]) else
                 COMBOS[f][1][0])
 
 

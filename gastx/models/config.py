@@ -14,7 +14,8 @@ from gastx.skeleton import get_layout, local_adjacencies
 # "" / "inherit" additionally mean "fall back to gab_impl".
 VALID_GAB_IMPLS = ("xla", "auto", "pallas", "pallas_interpret",
                    "pallas_local", "pallas_local_interpret",
-                   "pallas_level", "pallas_level_interpret")
+                   "pallas_level", "pallas_level_interpret",
+                   "pallas_pbatch", "pallas_pbatch_interpret")
 
 
 @dataclass(frozen=True)

@@ -197,14 +197,51 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
 
     new_state: Dict = {}
 
-    y, new_state["init_bn"] = batch_norm(
-        x, params["init_bn"], state["init_bn"], train=train)
-    y = temporal_conv(y, params["expand_conv"]["w"],
-                      stride=fw[0] if variant == "strided" else 1,
-                      precision=prec("expand"))
-    y, new_state["expand_bn"] = batch_norm(
-        y, params["expand_bn"], state["expand_bn"], train=train)
-    y = jax.nn.relu(y)
+    # Level-0 fusion (explicit opt-in via gab_impl_for(0) ==
+    # "pallas_level[_interpret]"): the whole expand prefix [init_bn ->
+    # expand_conv -> BN -> ReLU -> GAB0] runs as ONE kernel on the raw
+    # 2-lane input (gastx/ops/pallas/fused_level.py fused_level0 — init_bn
+    # folds into the conv weights, so the kernel reads ~64x fewer HBM
+    # bytes than the per-GAB kernel's expand-output read). Same VMEM gate
+    # as the interior level fusion.
+    impl0 = cfg.gab_impl_for(0)
+    c0 = cfg.block_channels(0)
+    l0_fused = (
+        not train and variant == "dilated" and not cfg.dense
+        and impl0 in ("pallas_level", "pallas_level_interpret")
+        and cfg.packed_channels == 0
+        and x.dtype == jnp.float32 and c0 <= 256
+        and (x.shape[1] - fw[0] + 1) * max(c0, 128) <= 40 * 128)
+    if l0_fused:
+        from gastx.ops.pallas.fused_gab import KERNEL_OPS
+        from gastx.ops.pallas.fused_level import fused_level0
+        from gastx.ops.pallas.precision import resolve_tiers
+
+        raw0 = level_prec("lvl0").kernel_raw
+        base0 = jax.config.jax_default_matmul_precision or "default"
+        y = fused_level0(
+            x, params, state,
+            tuple(int(v) for v in statics.sym_idx),
+            tuple(int(v) for v in statics.con_idx),
+            fw=fw[0], interpret=impl0.endswith("_interpret"),
+            precs=((("temporal", raw0("expand") or base0),)
+                   + resolve_tiers(level_prec("gab0"), KERNEL_OPS)),
+            form=cfg.gab_kernel_form,
+            softmax_group=cfg.gab_softmax_group,
+            apply_block=cfg.gab_apply_block,
+            score_block=cfg.gab_score_block)
+        # Eval mode: BN state untouched on the fused path.
+        new_state["init_bn"] = state["init_bn"]
+        new_state["expand_bn"] = state["expand_bn"]
+    else:
+        y, new_state["init_bn"] = batch_norm(
+            x, params["init_bn"], state["init_bn"], train=train)
+        y = temporal_conv(y, params["expand_conv"]["w"],
+                          stride=fw[0] if variant == "strided" else 1,
+                          precision=prec("expand"))
+        y, new_state["expand_bn"] = batch_norm(
+            y, params["expand_bn"], state["expand_bn"], train=train)
+        y = jax.nn.relu(y)
 
     # Packed narrow-level prefix (eval/dilated only; needs the pallas
     # kernels — interpret for tests, real on TPU backends).
@@ -218,7 +255,11 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
 
     gab_states = []
     temporal_states = []
-    if use_packed:
+    if l0_fused:
+        gab_states.append(state["gabs"][0])
+        start = 1
+        next_dilation = fw[0]
+    elif use_packed:
         y, start, next_dilation = _packed_prefix(
             params, state, y, cfg, statics, level_prec)
         # Eval mode leaves BN state untouched on every packed level.

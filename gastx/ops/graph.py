@@ -363,6 +363,31 @@ def graph_attention_block(
         # The hybrid mixes kernel outputs with XLA activations, so its
         # dtypes must match; bf16 storage takes the XLA path here.
         gab_impl = "xla"
+    if gab_impl.startswith("pallas_pbatch") and not train:
+        # Batch-packed narrow-channel form: P = 128//C samples ride the
+        # lane axis with block-diagonal weights (fused_gab_pbatch) — the
+        # r4 attack on the 243f/81f C=32/64 lane-padding + per-op-dispatch
+        # bound (perf_lab26 attribution). P = 1 (C >= 128) degrades to the
+        # plain whole-block/split routing below.
+        from gastx.ops.pallas.fused_gab import (
+            KERNEL_OPS, MAX_FUSED_CHANNELS, fused_gab_pbatch)
+        from gastx.ops.pallas.precision import resolve_tiers
+
+        pack = max(1, min(128 // x.shape[-1],
+                          MAX_FUSED_CHANNELS // x.shape[-1]))
+        if pack > 1:
+            y = fused_gab_pbatch(
+                x, params, state,
+                tuple(int(i) for i in statics.sym_idx),
+                tuple(int(i) for i in statics.con_idx),
+                pack=pack, interpret=gab_impl.endswith("_interpret"),
+                precs=resolve_tiers(prec, KERNEL_OPS),
+                tile_budget=gab_tile_budget,
+                softmax_group=gab_softmax_group,
+                apply_block=gab_apply_block, score_block=gab_score_block)
+            return y, state
+        gab_impl = ("pallas_interpret" if gab_impl.endswith("_interpret")
+                    else "pallas")
     use_local_kernel = False
     if gab_impl.startswith("pallas_local") and not train:
         from gastx.ops.pallas.fused_gab import MAX_SPLIT_CHANNELS

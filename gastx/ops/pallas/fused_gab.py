@@ -696,6 +696,142 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     return out.reshape(b_, t_, j_, 2 * c_)
 
 
+# --------------------------------------------------------------------------
+# Batch-packed ("P-pack") narrow-channel form: P = 128//C whole SAMPLES ride
+# the lane axis — x tiles are (TM, J, P*C) — with block-diagonal weights, so
+# a C=32 level runs 4 sequences per MXU pass instead of padding lanes 4x,
+# and every per-op dispatch (the perf_lab20/26 bound) amortizes over P
+# samples. Unlike the joint-packed layout (fused_gab_packed below), samples
+# never interact, so the kernel needs NO lane->sublane unpack — the existing
+# kernel bodies run unchanged with c'=P*C, K'=P*K: every dot's weight is
+# block-diagonal over samples (built host-side), every per-channel table
+# tiles P times along lanes, and the softmax/score chains see P*K
+# "effective heads". Per-sample products are identical; only the MXU
+# accumulation tree regroups around the exact-zero off-sample slots, so
+# outputs agree with the classic kernel to ~ulp, not bitwise (same class of
+# divergence as gab_score_block).
+# --------------------------------------------------------------------------
+
+
+def _pbatch_tree(params: Dict, state: Dict, p: int):
+    """GAB param/state subtrees -> their P-sample batch-packed equivalents.
+
+    Packed lane index = sample*C + channel (p-major); packed effective-head
+    index = sample*K + head. Consumed by the unchanged _local_ins /
+    _global_ins / _concat_ins packers, which then emit block-diagonal /
+    lane-tiled VMEM tables.
+    """
+    lp, gp = params["local"], params["global"]
+
+    def eye(dtype):
+        return jnp.eye(p, dtype=dtype)
+
+    def blkdiag(w):  # (Cin, Cout) -> (P*Cin, P*Cout)
+        return jnp.kron(eye(w.dtype), w)
+
+    def pieces(w, n):  # stacked (n*C, W) pieces -> (n*P*C, P*W) blockdiags
+        rows = w.shape[0] // n
+        return jnp.concatenate(
+            [blkdiag(w[i * rows:(i + 1) * rows]) for i in range(n)], axis=0)
+
+    def heads_diag(w):  # (K, C, W) -> (P*K, P*C, W), sample-offset inputs
+        k, c_in, width = w.shape
+        out = jnp.zeros((p, k, p * c_in, width), w.dtype)
+        for pi in range(p):
+            out = out.at[pi, :, pi * c_in:(pi + 1) * c_in, :].set(w)
+        return out.reshape(p * k, p * c_in, width)
+
+    def sem(d):
+        return {"W0": blkdiag(d["W0"]), "W1": blkdiag(d["W1"]),
+                "e": jnp.tile(d["e"], (p, 1))}
+
+    def tile1(d):  # per-channel vectors (BN params/state)
+        return {kk: jnp.tile(v, p) for kk, v in d.items()}
+
+    k, _, g_ch = gp["g_w"].shape
+    c_g = gp["cat_w"].shape[1]
+    gcat = gp["cat_w"].reshape(k, g_ch, c_g)
+    gcat_p = jnp.zeros((p, k, g_ch, p * c_g), gcat.dtype)
+    for pi in range(p):
+        gcat_p = gcat_p.at[pi, :, :, pi * c_g:(pi + 1) * c_g].set(gcat)
+
+    pp = {
+        "local": {
+            "sym": sem(lp["sym"]), "con": sem(lp["con"]),
+            "bn_sym": tile1(lp["bn_sym"]), "bn_con": tile1(lp["bn_con"]),
+            "cat_w": pieces(lp["cat_w"], 2),
+            "cat_bn": tile1(lp["cat_bn"]),
+        },
+        "global": {
+            "theta_w": heads_diag(gp["theta_w"]),
+            "phi_w": heads_diag(gp["phi_w"]),
+            "g_w": heads_diag(gp["g_w"]),
+            "theta_b": jnp.tile(gp["theta_b"], (p, 1)),
+            "phi_b": jnp.tile(gp["phi_b"], (p, 1)),
+            "g_b": jnp.tile(gp["g_b"], (p, 1)),
+            "proj_theta": jnp.tile(gp["proj_theta"], (p, 1)),
+            "proj_phi": jnp.tile(gp["proj_phi"], (p, 1)),
+            "C_k": jnp.tile(gp["C_k"], (p, 1, 1)),
+            "cat_w": gcat_p.reshape(p * k * g_ch, p * c_g),
+            "cat_bn": tile1(gp["cat_bn"]),
+        },
+        "cat_w": pieces(params["cat_w"], 3),
+        "cat_bn": tile1(params["cat_bn"]),
+    }
+    ps = jax.tree_util.tree_map(lambda v: jnp.tile(v, p), state)
+    return pp, ps
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sym_idx", "con_idx", "pack",
+                                    "interpret", "tile_rows", "precs",
+                                    "tile_budget", "softmax_group",
+                                    "apply_block", "score_block"))
+def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
+                     sym_idx: tuple, con_idx: tuple, *, pack: int,
+                     interpret: bool = False, tile_rows: int = 0,
+                     precs: tuple = (), tile_budget: int = 2**12,
+                     softmax_group: int = 1,
+                     apply_block: bool = False,
+                     score_block: bool = False) -> jnp.ndarray:
+    """Batch-packed whole-block kernel: (B, T, J, C) -> (B, T, J, 2C) with
+    ``pack`` samples per lane group (pack*C <= MAX_FUSED_CHANNELS).
+
+    Same contract as :func:`fused_gab` (classic layout in and out — the
+    pack/unpack transposes run in XLA around the kernel and touch only the
+    narrow C-wide tensors); v1 form only. B pads to a multiple of ``pack``
+    with zero rows.
+    """
+    b0, t_, j_, c_ = x.shape
+    if pack <= 1:
+        return fused_gab(x, params, state, sym_idx, con_idx,
+                         interpret=interpret, tile_rows=tile_rows,
+                         precs=precs, tile_budget=tile_budget, form="v1",
+                         softmax_group=softmax_group,
+                         apply_block=apply_block, score_block=score_block)
+    if pack * c_ > MAX_FUSED_CHANNELS:
+        raise ValueError(
+            f"fused_gab_pbatch: pack*C = {pack * c_} exceeds "
+            f"{MAX_FUSED_CHANNELS}")
+    params, state = _ensure_f32(params), _ensure_f32(state)
+    pad_b = (-b0) % pack
+    if pad_b:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_b, t_, j_, c_), x.dtype)], axis=0)
+    g = x.shape[0] // pack
+    xp = x.reshape(g, pack, t_, j_, c_).transpose(0, 2, 3, 1, 4) \
+        .reshape(g, t_, j_, pack * c_)
+    pp, ps = _pbatch_tree(params, state, pack)
+    yp = fused_gab(xp, pp, ps, sym_idx, con_idx, interpret=interpret,
+                   tile_rows=tile_rows, precs=precs,
+                   tile_budget=tile_budget, form="v1",
+                   softmax_group=softmax_group, apply_block=apply_block,
+                   score_block=score_block)
+    y = yp.reshape(g, t_, j_, pack, 2 * c_).transpose(0, 3, 1, 2, 4) \
+        .reshape(g * pack, t_, j_, 2 * c_)
+    return y[:b0] if pad_b else y
+
+
 def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,
                    j: int, local_aux, tiers, interpret: bool, form: str,
                    softmax_group: int = 1, apply_block: bool = False,

@@ -60,34 +60,45 @@ def _kernel_level(x_ref, *refs,
                   num_heads: int, inter: int, g_ch: int, j: int,
                   local_aux, tiers, interpret: bool, form: str,
                   softmax_group: int = 1, apply_block: bool = False,
-                  score_block: bool = False):
+                  score_block: bool = False, has_mid: bool = True):
+    """``has_mid``: interior levels run [conv->BN->ReLU->1x1->BN->ReLU
+    ->+residual]; level 0 (the expand level) has no mid 1x1 and no
+    residual (model/gast_net.py:163-165), signalled by has_mid=False +
+    res_off=-1."""
     out_ref = refs[-1]
-    (wt_ref, bnt_scale_ref, bnt_shift_ref,
-     w1_ref, bn1_scale_ref, bn1_shift_ref) = refs[:6]
+    nconv = 6 if has_mid else 3
+    (wt_ref, bnt_scale_ref, bnt_shift_ref) = refs[:3]
+    if has_mid:
+        (w1_ref, bn1_scale_ref, bn1_shift_ref) = refs[3:6]
     nl = _LOCAL_NREFS[form]
-    lrefs = refs[6:6 + nl]
-    grefs = refs[6 + nl:6 + nl + _GLOBAL_NREFS[form]]
-    crefs = refs[6 + nl + _GLOBAL_NREFS[form]:-1]
-    c = x_ref.shape[-1]
+    lrefs = refs[nconv:nconv + nl]
+    grefs = refs[nconv + nl:nconv + nl + _GLOBAL_NREFS[form]]
+    crefs = refs[nconv + nl + _GLOBAL_NREFS[form]:-1]
+    c_in = x_ref.shape[-1]
+    c = wt_ref.shape[-1]
     rows = t_out * j
-    xr = x_ref[0].astype(jnp.float32)            # (T_in*J, C)
+    xr = x_ref[0].astype(jnp.float32)            # (T_in*J, C_in)
     dot, dotg = _make_dots(tiers, interpret)
 
     # Dilated valid temporal conv as fw static row-slice dots: output
     # frame t reads input frames t + k*dilation, so tap k is the
     # contiguous row window starting at frame k*dilation.
-    z = dot(xr[0:rows, :], wt_ref[0:c, :], "temporal")
+    z = dot(xr[0:rows, :], wt_ref[0:c_in, :], "temporal")
     for k in range(1, fw):
         start = k * dilation * j
         z = z + dot(xr[start:start + rows, :],
-                    wt_ref[k * c:(k + 1) * c, :], "temporal")
+                    wt_ref[k * c_in:(k + 1) * c_in, :], "temporal")
     z = jnp.maximum(z * bnt_scale_ref[:] + bnt_shift_ref[:], 0.0)
-    z = dot(z, w1_ref[:], "mid1x1")
-    z = jnp.maximum(z * bn1_scale_ref[:] + bn1_shift_ref[:], 0.0)
+    if has_mid:
+        z = dot(z, w1_ref[:], "mid1x1")
+        z = jnp.maximum(z * bn1_scale_ref[:] + bn1_shift_ref[:], 0.0)
 
     # Residual: the reference's center slice (model/gast_net.py:153),
-    # shifted for causal configs.
-    y1 = xr[res_off * j:res_off * j + rows, :] + z
+    # shifted for causal configs; res_off=-1 disables (level 0).
+    if res_off >= 0:
+        y1 = xr[res_off * j:res_off * j + rows, :] + z
+    else:
+        y1 = z
 
     local = _run_local(form, y1, t_out, j, c, dot, lrefs, local_aux)
     globl = _run_global(form, y1, t_out, j, c, dot, dotg, grefs,
@@ -167,6 +178,94 @@ def fused_level(x: jnp.ndarray, conv_params: Dict, conv_state: Dict,
         out_shape=jax.ShapeDtypeStruct((b_, t_out * j_, 2 * c_), x.dtype),
         grid=(b_,),
         in_specs=[pl.BlockSpec((1, t_in * j_, c_), lambda i: (i, 0, 0),
+                               memory_space=vm)]
+        + [spec for _, spec in ins],
+        out_specs=pl.BlockSpec((1, t_out * j_, 2 * c_), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        interpret=interpret,
+    )(xf, *[arr for arr, _ in ins])
+    return out.reshape(b_, t_out, j_, 2 * c_)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fw", "sym_idx", "con_idx", "interpret",
+                                    "precs", "form", "softmax_group",
+                                    "apply_block", "score_block"))
+def fused_level0(x: jnp.ndarray, params: Dict, state: Dict,
+                 sym_idx: tuple, con_idx: tuple, *,
+                 fw: int, interpret: bool = False,
+                 precs: tuple = (), form: str = "v1",
+                 softmax_group: int = 1,
+                 apply_block: bool = False,
+                 score_block: bool = False) -> jnp.ndarray:
+    """Level 0 (the expand level), fused: RAW (B, T, J, C_in) 2D keypoints
+    -> (B, T-fw+1, J, 2C) first-block output, one kernel per sequence.
+
+    The whole prefix [init_bn -> expand_conv -> expand_bn -> ReLU -> GAB0]
+    (model/gast_net.py:162-165) folds into [conv' -> affine -> ReLU -> GAB0]:
+    init_bn is a per-channel affine x*a + b, so conv(x*a + b) = conv_w'(x)
+    + bias with w'[k,c,o] = w[k,c,o]*a[c], and both the bias and expand_bn
+    fold into the kernel's post-conv scale/shift. The kernel therefore
+    reads the 2-lane raw input — ~64x fewer HBM bytes than the expand-conv
+    output the per-GAB kernel reads — and the expand level's XLA dispatches
+    disappear.
+
+    ``params``/``state``: the full model trees ({"init_bn", "expand_conv",
+    "expand_bn", "gabs", ...}); only the level-0 subtrees are consumed.
+    Eval/dilated only (stride 1, dilation 1).
+    """
+    from gastx.ops.pallas.fused_gab import KERNEL_OPS
+
+    b_, t_in, j_, c_in = x.shape
+    t_out = t_in - (fw - 1)
+    params, state = _ensure_f32(params), _ensure_f32(state)
+    gab_params, gab_state = params["gabs"][0], state["gabs"][0]
+    lp, gp = gab_params["local"], gab_params["global"]
+    k, _, inter = gp["theta_w"].shape
+    g_ch = gp["g_w"].shape[2]
+    c_ = gp["theta_w"].shape[1]
+    if c_ > MAX_FUSED_CHANNELS:
+        raise ValueError(
+            f"fused_level0 supports C <= {MAX_FUSED_CHANNELS}, got {c_}")
+    tiers = tiers_from_pairs(precs, LEVEL_OPS + KERNEL_OPS)
+
+    # Fold init_bn (affine a, b) into the expand conv: w' = w * a[c] and a
+    # constant output bias sum_{k,c} w[k,c,o] * b[c], absorbed into the
+    # expand_bn fold's shift.
+    a_i, b_i = _fold_bn(params["init_bn"], state["init_bn"])
+    w = params["expand_conv"]["w"]                     # (fw, C_in, C)
+    wp = w * a_i.reshape(1, c_in, 1)
+    bias = jnp.einsum("kco,c->o", w, b_i.reshape(-1))
+    s_e, t_e = _fold_bn(params["expand_bn"], state["expand_bn"])
+    t_e = t_e + bias.reshape(1, -1) * s_e
+
+    vm = pltpu.VMEM
+    conv_ins = [
+        (wp.reshape(fw * c_in, c_),
+         pl.BlockSpec((fw * c_in, c_), _full, memory_space=vm)),
+        (s_e, pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (t_e, pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+    local_ins, local_aux = _local_ins_form(form, lp, gab_state, sym_idx,
+                                           con_idx, j_, c_)
+    ins = conv_ins + local_ins \
+        + _global_ins_form(form, gp, gab_state, j_, c_, k, inter, g_ch,
+                           score_block=score_block) \
+        + _concat_ins(gab_params, gab_state, c_)
+
+    xf = x.astype(jnp.float32).reshape(b_, t_in * j_, c_in)
+    out = pl.pallas_call(
+        functools.partial(_kernel_level, fw=fw, dilation=1,
+                          res_off=-1, t_out=t_out, num_heads=k,
+                          inter=inter, g_ch=g_ch, j=j_, local_aux=local_aux,
+                          tiers=tiers, interpret=interpret, form=form,
+                          softmax_group=softmax_group,
+                          apply_block=apply_block,
+                          score_block=score_block, has_mid=False),
+        out_shape=jax.ShapeDtypeStruct((b_, t_out * j_, 2 * c_),
+                                       jnp.float32),
+        grid=(b_,),
+        in_specs=[pl.BlockSpec((1, t_in * j_, c_in), lambda i: (i, 0, 0),
                                memory_space=vm)]
         + [spec for _, spec in ins],
         out_specs=pl.BlockSpec((1, t_out * j_, 2 * c_), lambda i: (i, 0, 0),

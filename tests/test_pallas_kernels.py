@@ -90,6 +90,58 @@ def test_fused_gab_split_matches_xla_at_512():
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("b,c,pack", [(8, 32, 4), (6, 32, 4), (4, 64, 2)])
+def test_fused_gab_pbatch_matches_xla(b, c, pack):
+    """Batch-packed narrow-channel kernel (fused_gab_pbatch): pack
+    samples ride the lane axis with block-diagonal weights — per-sample
+    products identical to the classic kernel, accumulation regrouped
+    around exact-zero off-sample slots only. Covers a non-pack-divisible
+    batch (zero-row padding) and both shipped narrow widths."""
+    from gastx.models import graph_statics
+    from gastx.ops.pallas.fused_gab import fused_gab_pbatch
+
+    cfg = GastNetConfig(filter_widths=(3, 3, 3, 3, 3), channels=32)
+    level = {32: 0, 64: 1}[c]
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    gp, gs = params["gabs"][level], state["gabs"][level]
+    statics = graph_statics(cfg.layout)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((b, 5, 17, c)).astype(np.float32))
+    ref, _ = G.graph_attention_block(x, gp, gs, statics,
+                                     train=False, dropout_rate=0.0)
+    got = fused_gab_pbatch(
+        x, gp, gs, tuple(int(i) for i in statics.sym_idx),
+        tuple(int(i) for i in statics.con_idx), pack=pack, interpret=True,
+        softmax_group=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_gab_impl_pbatch_full_forward_matches_xla():
+    """gab_impl="pallas_pbatch_interpret" through the full 243f-shaped
+    forward: the packed route on the C=32/64 levels and the degrade path
+    (pack=1 -> whole-block/split kernels) on C>=128 must match XLA."""
+    import dataclasses
+
+    from gastx.models import gastnet_forward
+
+    cfg = GastNetConfig(dropout=0.0, filter_widths=(3, 3, 3, 3, 3),
+                        channels=32)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 243, 17, 2)).astype(np.float32))
+    y_ref, _ = gastnet_forward(params, state, x, cfg,
+                               variant="dilated", train=False)
+    cfg_p = dataclasses.replace(
+        cfg, gab_impl_levels=("pallas_pbatch_interpret",
+                              "pallas_pbatch_interpret", "", "", ""))
+    y_got, _ = gastnet_forward(params, state, x, cfg_p,
+                               variant="dilated", train=False)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fused_gab_rejects_wide_channels():
     from gastx.models import graph_statics
     from gastx.ops.pallas.fused_gab import MAX_FUSED_CHANNELS, fused_gab
@@ -190,8 +242,9 @@ def test_gab_impl_pallas_level_matches_xla(causal):
     """Level fusion (gastx/ops/pallas/fused_level.py): the whole
     [dilated conv -> BN -> ReLU -> 1x1 -> BN -> ReLU -> +res -> GAB]
     level as one kernel per batch element. Full forward on a 2-level
-    config (level 1 fused; level 0 via fused_gab) vs the XLA path, both
-    residual alignments (causal shifts the slice)."""
+    config (level 1 via fused_level; level 0 via fused_level0 — the r4
+    expand-prefix fusion with init_bn folded into the conv) vs the XLA
+    path, both residual alignments (causal shifts the slice)."""
     import dataclasses
 
     from gastx.models import gastnet_forward

@@ -415,6 +415,79 @@ def measure_roofline(seqs_per_s: float, batch: int = 1024) -> dict:
     }
 
 
+def measure_kernel_path_traffic(seqs_per_s: float,
+                                batch: int = 1024) -> dict:
+    """Hand-computed HBM tensor I/O of the PRODUCTION (fused-kernel) 27f
+    forward (VERDICT r3 item 5: XLA cost analysis cannot see inside pallas
+    custom calls, so the shipped path's traffic claim needs its own
+    denominator). Walks the same route gastnet._forward takes under the
+    production config and sums each launch's activation reads/writes plus
+    one read of its weights (weights are VMEM-resident across grid steps;
+    refetches would show up as a measured-vs-ideal gap, not here). This is
+    the path's IDEAL traffic — the measured throughput sitting far below
+    ideal-traffic/HBM-peak is itself the r3 finding that the kernel path
+    is dispatch/compute-bound, not HBM-bound."""
+    import dataclasses
+
+    from gastx.models import config_for_frames
+
+    cfg = config_for_frames(27, dropout=0.05)
+    j, f32 = 17, 4
+    fw = cfg.filter_widths
+    # Activation bytes accumulate per sequence; weight bytes (fused_gab
+    # docstring accounting: local 4C^2 + 2C^2, attention ~2.5C^2, gab cat
+    # 6C^2 -> ~14.5C^2 floats) are read once per LAUNCH and shared by the
+    # whole batch, so they amortize by ``batch``.
+    mb = 0.0
+    wb = 0.0
+    t = 27
+    t_out = t - (fw[0] - 1)
+    impl0 = cfg.gab_impl_for(0)
+    c0 = cfg.block_channels(0)
+    l0_fused = impl0 in ("pallas_level", "pallas_level_interpret", "auto")
+    if l0_fused:
+        # fused_level0: reads raw (T, J, 2), writes (T', J, 2C).
+        mb += (t * j * 2 + t_out * j * 2 * c0) * f32
+        wb += (2 * c0 + 14.5 * c0 * c0) * f32
+    else:
+        # XLA expand chain + whole-block gab0.
+        mb += (t * j * 2 + t_out * j * c0) * f32          # expand
+        mb += (t_out * j * c0 + t_out * j * 2 * c0) * f32  # gab0 in/out
+        wb += (2 * c0 + 14.5 * c0 * c0) * f32
+    t = t_out
+    next_dil = fw[0]
+    for i in range(1, cfg.num_levels):
+        ci = cfg.block_channels(i)
+        t_out = t - (fw[i] - 1) * next_dil
+        fits = t_out * max(ci, 128) <= 40 * 128
+        if ci <= 256 and fits:
+            # fused_level: reads (T, J, C), writes (T', J, 2C).
+            mb += (t * j * ci + t_out * j * 2 * ci) * f32
+            wb += ((fw[i] + 1) * ci * ci + 14.5 * ci * ci) * f32
+        else:
+            # XLA conv chain + split kernels (local round-trips once).
+            mb += (t * j * ci + t_out * j * ci) * f32      # conv chain
+            mb += (3 * t_out * j * ci) * f32               # local in/out + x
+            mb += (2 * t_out * j * ci + t_out * j * 2 * ci) * f32  # globcat
+            wb += ((fw[i] + 1) * ci * ci + 14.5 * ci * ci) * f32
+        t = t_out
+        next_dil *= fw[i]
+    c_out = cfg.out_channels
+    mb += (t * j * c_out + t * j * 3) * f32                # shrink
+    wb += c_out * 3 * f32
+    mb = (mb + wb / batch) / 1e6
+    gbps = seqs_per_s * mb / 1e3
+    return {
+        "ideal_mb_per_seq": round(mb, 3),
+        "implied_gbps_at_measured_throughput": round(gbps, 1),
+        "pct_hbm_peak": round(100.0 * gbps / V5E_HBM_PEAK_GBPS, 1),
+        "note": f"ideal tensor I/O of the shipped kernel route per sequence "
+                f"(weights once per launch, amortized over B={batch}); far "
+                f"below HBM peak => the kernel path is dispatch/compute-"
+                f"bound (DESIGN.md r3/r4)",
+    }
+
+
 def measure_streaming_steps(iters: int = 200) -> float:
     """Sequential single-frame causal streaming steps per second (M=1).
 
@@ -497,8 +570,16 @@ def main():
                 "note": "XLA-equivalent program (pallas custom-calls are "
                         "opaque to cost analysis)", **roof}), flush=True)
 
+        def kernel_traffic():
+            kt = measure_kernel_path_traffic(value)
+            print(json.dumps({
+                "metric": "27f_kernel_path_traffic",
+                "value": kt["implied_gbps_at_measured_throughput"],
+                "unit": "GB/s", "vs_baseline": None, **kt}), flush=True)
+
         train_base = get_train_baseline()
         attempt("27f_roofline", roofline)
+        attempt("27f_kernel_path_traffic", kernel_traffic)
         attempt("27f_17j_train_step_throughput", lambda: emit(
             "27f_17j_train_step_throughput", measure_train_step(),
             train_base))

@@ -144,6 +144,16 @@ class GastNetConfig:
     # rounding, unfixable by precision tiers. Kept as an opt-in for
     # >0.1mm-budget deployments.
     gab_io_dtype: str = "float32"
+    # Optional PER-LEVEL override of storage_dtype for the eval forward:
+    # one entry per level ("" or "inherit" falls back to storage_dtype;
+    # "float32"/"bfloat16" pin that level's activations + params). The r4
+    # 81f margin work (VERDICT r3 item 3): bf16 storage ships 0.0935mm
+    # worst of 24 seeds on a 0.1mm budget — a per-level error ablation
+    # (scripts/perf_lab32.py) finds the tail-owning level so f32 can be
+    # restored there alone, keeping the narrow levels' bandwidth win.
+    # Levels cast at entry (activations astype + params/state
+    # cast_floating); the final shrink runs at the last level's dtype.
+    storage_dtype_levels: Tuple[str, ...] = ()
     # Graph-attention-block implementation for the EVAL-mode forward:
     # "xla" (default for bare configs), "pallas" — the fused VMEM-resident
     # kernels (gastx/ops/pallas/fused_gab.py): whole-block kernel for
@@ -171,6 +181,13 @@ class GastNetConfig:
     # route runs each level at its measured-fastest impl
     # (scripts/perf_lab28.py measures the end-to-end combinations).
     gab_impl_levels: Tuple[str, ...] = ()
+    # Cap on the batch-pack factor of the "pallas_pbatch" impl (P =
+    # min(128 // C, cap); 0 = uncapped). The r4 bisect: pack=4 at C=32
+    # (16 effective heads) overflows scoped VMEM at the default row tile
+    # — fused_gab_pbatch auto-scales its tile budget by 8/K' beyond 8
+    # effective heads, so this cap is a tuning knob (pack=2 keeps the
+    # classic TM=32 tiles at half the lane utilization).
+    gab_pbatch_max_pack: int = 0
 
     def gab_impl_for(self, i: int) -> str:
         """gab_impl for level ``i``: the per-level override when set."""
@@ -179,6 +196,16 @@ class GastNetConfig:
             if v and v != "inherit":
                 return v
         return self.gab_impl
+
+    def storage_dtype_for(self, i: int, resolved: str) -> str:
+        """Storage dtype for level ``i``: the per-level override when set,
+        else ``resolved`` (the caller's already-"auto"-resolved
+        storage_dtype)."""
+        if i < len(self.storage_dtype_levels):
+            v = self.storage_dtype_levels[i]
+            if v and v != "inherit":
+                return v
+        return resolved
 
     def precision_for(self, op_class: str):
         """Override precision for an op class, or None to inherit the
@@ -210,6 +237,19 @@ class GastNetConfig:
                 raise ValueError(
                     f"unknown gab_impl_levels entry {v!r}; valid: "
                     f"{VALID_GAB_IMPLS + ('', 'inherit')}")
+        if len(self.storage_dtype_levels) > self.num_levels:
+            raise ValueError(
+                f"storage_dtype_levels has {len(self.storage_dtype_levels)}"
+                f" entries for a {self.num_levels}-level architecture")
+        for v in self.storage_dtype_levels:
+            if v not in ("", "inherit", "float32", "bfloat16"):
+                raise ValueError(
+                    f"unknown storage_dtype_levels entry {v!r}; valid: "
+                    f"('', 'inherit', 'float32', 'bfloat16')")
+        if self.packed_channels and any(
+                v not in ("", "inherit") for v in self.storage_dtype_levels):
+            raise ValueError(
+                "storage_dtype_levels is not supported with packed_channels")
         if self.packed_channels and any(
                 v not in ("", "inherit") for v in self.gab_impl_levels):
             # The packed narrow-level prefix routes solely off gab_impl

@@ -61,16 +61,29 @@ def gastnet_forward(
     if sd == "auto":
         sd = ("bfloat16" if not train and jax.default_backend() == "tpu"
               else "float32")
-    if sd == "bfloat16" and not train:
+    lds = tuple(cfg.storage_dtype_for(i, sd) for i in range(cfg.num_levels))
+    if not train and any(d == "bfloat16" for d in lds):
         from gastx.models.precision import cast_floating
 
         orig_state = state
-        params = cast_floating(params, jnp.bfloat16)
-        state = cast_floating(state, jnp.bfloat16)
-        x = x.astype(jnp.bfloat16)
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            y, _ = _forward(params, state, x, cfg, variant=variant,
-                            train=False, rng=rng)
+        if all(d == "bfloat16" for d in lds):
+            # Uniform bf16: one global cast (the r3-measured program).
+            params = cast_floating(params, jnp.bfloat16)
+            state = cast_floating(state, jnp.bfloat16)
+            x = x.astype(jnp.bfloat16)
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                y, _ = _forward(params, state, x, cfg, variant=variant,
+                                train=False, rng=rng)
+        else:
+            # Mixed per-level storage (storage_dtype_levels): _forward
+            # casts activations + each level's params at level entry.
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                y, _ = _forward(
+                    params, state, x, cfg, variant=variant, train=False,
+                    rng=rng,
+                    level_dtypes=tuple(
+                        jnp.bfloat16 if d == "bfloat16" else jnp.float32
+                        for d in lds))
         return y.astype(jnp.float32), orig_state
 
     with jax.default_matmul_precision(cfg.matmul_precision):
@@ -166,7 +179,37 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
     return y.reshape(y.shape[0], y.shape[1], j, c_out), i, next_dilation
 
 
-def _forward(params, state, x, cfg, *, variant, train, rng):
+def _forward(params, state, x, cfg, *, variant, train, rng,
+             level_dtypes=None):
+
+    if level_dtypes is not None:
+        # Mixed per-level storage (cfg.storage_dtype_levels, eval only):
+        # cast the input and each level's param/state subtrees to that
+        # level's dtype up front; activations re-cast at level entry in
+        # the loop below. Weight casts are tiny next to the activation
+        # bytes this trades.
+        from gastx.models.precision import cast_floating
+
+        assert not train, "storage_dtype_levels is eval-only"
+        x = x.astype(level_dtypes[0])
+        params, state = dict(params), dict(state)
+        for k in ("init_bn", "expand_conv", "expand_bn"):
+            params[k] = cast_floating(params[k], level_dtypes[0])
+            if k in state:
+                state[k] = cast_floating(state[k], level_dtypes[0])
+        params["gabs"] = tuple(
+            cast_floating(p, level_dtypes[i])
+            for i, p in enumerate(params["gabs"]))
+        state["gabs"] = tuple(
+            cast_floating(s, level_dtypes[i])
+            for i, s in enumerate(state["gabs"]))
+        params["temporal"] = tuple(
+            cast_floating(p, level_dtypes[i + 1])
+            for i, p in enumerate(params["temporal"]))
+        state["temporal"] = tuple(
+            cast_floating(s, level_dtypes[i + 1])
+            for i, s in enumerate(state["temporal"]))
+        params["shrink"] = cast_floating(params["shrink"], level_dtypes[-1])
 
     statics = graph_statics(cfg.layout)
     fw = cfg.filter_widths
@@ -208,7 +251,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     c0 = cfg.block_channels(0)
     l0_fused = (
         not train and variant == "dilated" and not cfg.dense
-        and impl0 in ("pallas_level", "pallas_level_interpret")
+        and (impl0 in ("pallas_level", "pallas_level_interpret")
+             or (impl0 == "auto" and jax.default_backend() == "tpu"))
         and cfg.packed_channels == 0
         and x.dtype == jnp.float32 and c0 <= 256
         and (x.shape[1] - fw[0] + 1) * max(c0, 128) <= 40 * 128)
@@ -277,6 +321,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_softmax_group=cfg.gab_softmax_group,
             gab_apply_block=cfg.gab_apply_block,
             gab_score_block=cfg.gab_score_block,
+            gab_pbatch_max_pack=cfg.gab_pbatch_max_pack,
             prec=level_prec("gab0"))
         gab_states.append(s_gab)
         start = 1
@@ -298,6 +343,8 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
     for i in range(start, cfg.num_levels):
         blk_p = params["temporal"][i - 1]
         blk_s = state["temporal"][i - 1]
+        if level_dtypes is not None:
+            y = y.astype(level_dtypes[i])
 
         impl_i = cfg.gab_impl_for(i)
         use_level_fuse = (
@@ -371,6 +418,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng):
             gab_softmax_group=cfg.gab_softmax_group,
             gab_apply_block=cfg.gab_apply_block,
             gab_score_block=cfg.gab_score_block,
+            gab_pbatch_max_pack=cfg.gab_pbatch_max_pack,
             prec=level_prec(f"gab{i}"))
 
         temporal_states.append({"bn_t": s_t, "bn_1": s_1})

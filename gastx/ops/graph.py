@@ -329,6 +329,7 @@ def graph_attention_block(
     gab_softmax_group: int = 1,
     gab_apply_block: bool = False,
     gab_score_block: bool = False,
+    gab_pbatch_max_pack: int = 0,
     prec: PrecFn = _no_override,
 ) -> Tuple[jnp.ndarray, Dict]:
     """residual ++ local ++ global -> 1x1 conv (3C->2C) -> BN -> ReLU.
@@ -351,14 +352,19 @@ def graph_attention_block(
     r3c-certified preset (DESIGN.md).
     """
     if gab_impl == "auto":
-        # Measured routing (r3, perf_lab7/8/11): f32 activations win with
-        # the fused kernels (+8%, 14.4k vs 13.4k at 27f); bf16-storage
-        # activations win on the plain XLA path (81f: 4316 vs 3675 seq/s
-        # and 0.090 vs 0.110 mm; 243f: 1133 vs 924 — XLA fuses the bf16
-        # chain better than the f32-internal kernels + launches). The
-        # kernels do accept bf16 (tested); it's just not the fast route.
-        gab_impl = ("pallas" if jax.default_backend() == "tpu"
-                    and x.dtype == jnp.float32 else "xla")
+        # Measured routing. f32 activations: fused kernels (+8% at 27f,
+        # perf_lab7; the r3d batched-softmax/2-pass adoptions widened it).
+        # bf16-storage activations (r3 said XLA, perf_lab11): REVERSED r4
+        # after the adoptions lab11 predated — the kernels now win at
+        # every level, with the frame-packed form on narrow (C < 128)
+        # levels (perf_lab28/29: 243f 1,110 -> 1,259 seq/s, 81f 4,313 ->
+        # 4,775 under this exact routing).
+        if jax.default_backend() != "tpu":
+            gab_impl = "xla"
+        elif x.dtype == jnp.float32:
+            gab_impl = "pallas"
+        else:
+            gab_impl = ("pallas_pbatch" if x.shape[-1] < 128 else "pallas")
     if gab_impl.startswith("pallas_local") and x.dtype != jnp.float32:
         # The hybrid mixes kernel outputs with XLA activations, so its
         # dtypes must match; bf16 storage takes the XLA path here.
@@ -375,6 +381,8 @@ def graph_attention_block(
 
         pack = max(1, min(128 // x.shape[-1],
                           MAX_FUSED_CHANNELS // x.shape[-1]))
+        if gab_pbatch_max_pack:
+            pack = min(pack, gab_pbatch_max_pack)
         if pack > 1:
             y = fused_gab_pbatch(
                 x, params, state,

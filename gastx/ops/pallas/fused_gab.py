@@ -697,19 +697,22 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
 
 
 # --------------------------------------------------------------------------
-# Batch-packed ("P-pack") narrow-channel form: P = 128//C whole SAMPLES ride
-# the lane axis — x tiles are (TM, J, P*C) — with block-diagonal weights, so
-# a C=32 level runs 4 sequences per MXU pass instead of padding lanes 4x,
-# and every per-op dispatch (the perf_lab20/26 bound) amortizes over P
-# samples. Unlike the joint-packed layout (fused_gab_packed below), samples
-# never interact, so the kernel needs NO lane->sublane unpack — the existing
+# Frame-packed ("P-pack") narrow-channel form: P = 128//C whole FRAMES of
+# the flattened B*T frame axis ride the lane axis — x tiles are
+# (TM, J, P*C) — with block-diagonal weights, so a C=32 level runs 4
+# frames per MXU pass instead of padding lanes 4x, and every per-op
+# dispatch (the perf_lab20/26 bound) amortizes over P frames. The graph
+# block is per-frame, so ANY P frames can share a lane group (B=2 TTA
+# lifting packs as well as B=1024 training windows). Unlike the
+# joint-packed layout (fused_gab_packed below), packed frames never
+# interact, so the kernel needs NO lane->sublane unpack — the existing
 # kernel bodies run unchanged with c'=P*C, K'=P*K: every dot's weight is
-# block-diagonal over samples (built host-side), every per-channel table
+# block-diagonal over frames (built host-side), every per-channel table
 # tiles P times along lanes, and the softmax/score chains see P*K
-# "effective heads". Per-sample products are identical; only the MXU
-# accumulation tree regroups around the exact-zero off-sample slots, so
-# outputs agree with the classic kernel to ~ulp, not bitwise (same class of
-# divergence as gab_score_block).
+# "effective heads". Per-frame products are identical; only the MXU
+# accumulation tree regroups around the exact-zero off-frame slots, so
+# outputs agree with the classic kernel to ~ulp, not bitwise (same class
+# of divergence as gab_score_block).
 # --------------------------------------------------------------------------
 
 
@@ -794,13 +797,16 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
                      softmax_group: int = 1,
                      apply_block: bool = False,
                      score_block: bool = False) -> jnp.ndarray:
-    """Batch-packed whole-block kernel: (B, T, J, C) -> (B, T, J, 2C) with
-    ``pack`` samples per lane group (pack*C <= MAX_FUSED_CHANNELS).
+    """Frame-packed whole-block kernel: (B, T, J, C) -> (B, T, J, 2C) with
+    ``pack`` FRAMES per lane group (pack*C <= MAX_FUSED_CHANNELS).
 
-    Same contract as :func:`fused_gab` (classic layout in and out — the
-    pack/unpack transposes run in XLA around the kernel and touch only the
-    narrow C-wide tensors); v1 form only. B pads to a multiple of ``pack``
-    with zero rows.
+    The graph block is per-frame (attention and the graph convs act within
+    one frame's J joints), so any ``pack`` frames of the flattened B*T
+    frame axis can share a lane group — whole-sequence lifting at B=2 TTA
+    pairs packs as well as B=1024 training windows, with at most pack-1
+    zero frames of padding. Same contract as :func:`fused_gab` (classic
+    layout in and out — the pack/unpack transposes run in XLA around the
+    kernel and touch only the narrow C-wide tensors); v1 form only.
     """
     b0, t_, j_, c_ = x.shape
     if pack <= 1:
@@ -814,22 +820,30 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
             f"fused_gab_pbatch: pack*C = {pack * c_} exceeds "
             f"{MAX_FUSED_CHANNELS}")
     params, state = _ensure_f32(params), _ensure_f32(state)
-    pad_b = (-b0) % pack
-    if pad_b:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad_b, t_, j_, c_), x.dtype)], axis=0)
-    g = x.shape[0] // pack
-    xp = x.reshape(g, pack, t_, j_, c_).transpose(0, 2, 3, 1, 4) \
-        .reshape(g, t_, j_, pack * c_)
+    m0 = b0 * t_
+    xf = x.reshape(m0, j_, c_)
+    pad_m = (-m0) % pack
+    if pad_m:
+        xf = jnp.concatenate(
+            [xf, jnp.zeros((pad_m, j_, c_), x.dtype)], axis=0)
+    g = xf.shape[0] // pack
+    xp = xf.reshape(g, pack, j_, c_).transpose(0, 2, 1, 3) \
+        .reshape(g, 1, j_, pack * c_)
     pp, ps = _pbatch_tree(params, state, pack)
+    # Scoped-VMEM stack scales with rows x effective heads (P*K score
+    # slivers per row tile): at P*K = 16 the default 4096 budget's TM=32
+    # tile overflows the 16M limit (remote-compile HTTP 500, r4 bisect) —
+    # TM=16 compiles and runs. Scale the budget by 8/K' beyond 8 heads.
+    k_eff = pack * params["global"]["theta_w"].shape[0]
+    budget = tile_budget * 8 // max(8, k_eff)
     yp = fused_gab(xp, pp, ps, sym_idx, con_idx, interpret=interpret,
                    tile_rows=tile_rows, precs=precs,
-                   tile_budget=tile_budget, form="v1",
+                   tile_budget=budget, form="v1",
                    softmax_group=softmax_group, apply_block=apply_block,
                    score_block=score_block)
-    y = yp.reshape(g, t_, j_, pack, 2 * c_).transpose(0, 3, 1, 2, 4) \
-        .reshape(g * pack, t_, j_, 2 * c_)
-    return y[:b0] if pad_b else y
+    y = yp.reshape(g, j_, pack, 2 * c_).transpose(0, 2, 1, 3) \
+        .reshape(g * pack, j_, 2 * c_)
+    return y[:m0].reshape(b0, t_, j_, 2 * c_)
 
 
 def _kernel_packed(x_ref, *refs, num_heads: int, inter: int, g_ch: int,

@@ -41,6 +41,7 @@ COMBOS = {
         ("pb01", (PB, PB, "", "", "")),
         ("pb01-w234", (PB, PB, "pallas", "pallas", "pallas")),
         ("pb0-w1234", (PB, "pallas", "pallas", "pallas", "pallas")),
+        ("pb1-w234", ("", PB, "pallas", "pallas", "pallas")),
     ),
     81: (  # levels C = 64, 128, 256, 512(T=1)
         ("baseline-xla", ()),

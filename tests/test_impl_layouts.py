@@ -146,6 +146,51 @@ def test_storage_dtype_bf16_mechanism():
     np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y32))
 
 
+def test_storage_dtype_levels_mixed():
+    """storage_dtype_levels (r4, VERDICT item 3): per-level storage
+    overrides — all-"float32" entries under a bf16 global reproduce the
+    f32 path bitwise, a single-level f32 restore lands between the bf16
+    and f32 programs, state stays untouched, and invalid entries /
+    too-many entries / packed_channels combos are rejected."""
+    cfg = GastNetConfig(filter_widths=(3, 3), channels=32, dropout=0.0)
+    params, state = init_gastnet(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 9, 17, 2)).astype(np.float32))
+
+    y32, _ = gastnet_forward(params, state, x, cfg, variant="dilated",
+                             train=False)
+    cfg_bf = dataclasses.replace(cfg, storage_dtype="bfloat16")
+    y16, _ = gastnet_forward(params, state, x, cfg_bf, variant="dilated",
+                             train=False)
+    d_bf = np.abs(np.asarray(y16) - np.asarray(y32)).max()
+
+    cfg_allf = dataclasses.replace(
+        cfg_bf, storage_dtype_levels=("float32", "float32"))
+    y_allf, s_allf = gastnet_forward(params, state, x, cfg_allf,
+                                     variant="dilated", train=False)
+    np.testing.assert_array_equal(np.asarray(y_allf), np.asarray(y32))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s_allf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for levels in (("float32", ""), ("", "float32")):
+        cfg_m = dataclasses.replace(cfg_bf, storage_dtype_levels=levels)
+        y_m, _ = gastnet_forward(params, state, x, cfg_m,
+                                 variant="dilated", train=False)
+        assert np.asarray(y_m).dtype == np.float32
+        d_m = np.abs(np.asarray(y_m) - np.asarray(y32)).max()
+        assert 0 < d_m < d_bf, (levels, d_m, d_bf)
+
+    with pytest.raises(ValueError, match="storage_dtype_levels"):
+        dataclasses.replace(cfg, storage_dtype_levels=("float16",))
+    with pytest.raises(ValueError, match="entries"):
+        dataclasses.replace(
+            cfg, storage_dtype_levels=("", "", "float32"))
+    with pytest.raises(ValueError, match="packed_channels"):
+        dataclasses.replace(cfg, packed_channels=64,
+                            storage_dtype_levels=("float32", ""))
+
+
 def test_packed_narrow_levels_match_classic():
     """cfg.packed_channels: the packed (B, T, J*C) narrow-level prefix
     (block-diagonal convs + tiled BN + packed fused-GAB kernel) matches

@@ -90,13 +90,14 @@ def test_fused_gab_split_matches_xla_at_512():
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("b,c,pack", [(8, 32, 4), (6, 32, 4), (4, 64, 2)])
+@pytest.mark.parametrize("b,c,pack", [(8, 32, 4), (3, 32, 4), (4, 64, 2)])
 def test_fused_gab_pbatch_matches_xla(b, c, pack):
-    """Batch-packed narrow-channel kernel (fused_gab_pbatch): pack
-    samples ride the lane axis with block-diagonal weights — per-sample
-    products identical to the classic kernel, accumulation regrouped
-    around exact-zero off-sample slots only. Covers a non-pack-divisible
-    batch (zero-row padding) and both shipped narrow widths."""
+    """Frame-packed narrow-channel kernel (fused_gab_pbatch): pack frames
+    of the flattened B*T axis ride the lane axis with block-diagonal
+    weights — per-frame products identical to the classic kernel,
+    accumulation regrouped around exact-zero off-frame slots only. Covers
+    a non-pack-divisible frame count (zero-frame padding) and both
+    shipped narrow widths."""
     from gastx.models import graph_statics
     from gastx.ops.pallas.fused_gab import fused_gab_pbatch
 

@@ -412,8 +412,11 @@ def config_for_frames(
     CLIs), so it defaults to the measured mixed-precision preset
     (max 0.0632 mm over 24 seeds — see TPU_MIXED_PRECISION_OVERRIDES) and,
     on TPU backends, the fused graph-attention-block kernels
-    (``gab_impl="auto"`` = level-fused kernels on TPU f32 paths:
-    14,418 seq/s at B=1024/27f, scripts/perf_lab16.py). Pass
+    (``gab_impl="auto"`` = level-fused kernels incl. the fused level-0
+    expand prefix on f32 paths — 20,127 seq/s at B=1024/27f,
+    scripts/perf_lab30.py — and frame-packed pbatch kernels at C<128 +
+    per-GAB kernels at C>=128 on bf16-storage paths — 4,775/1,259 seq/s
+    at 81f/243f, scripts/perf_lab29.py). Pass
     ``precision_overrides=()`` + ``gab_impl="xla"`` for the all-"high"
     bit-study mode; training builds GastNetConfig directly and stays
     all-"high"/XLA.

@@ -147,10 +147,14 @@ class GastNetConfig:
     # Optional PER-LEVEL override of storage_dtype for the eval forward:
     # one entry per level ("" or "inherit" falls back to storage_dtype;
     # "float32"/"bfloat16" pin that level's activations + params). The r4
-    # 81f margin work (VERDICT r3 item 3): bf16 storage ships 0.0935mm
-    # worst of 24 seeds on a 0.1mm budget — a per-level error ablation
-    # (scripts/perf_lab32.py) finds the tail-owning level so f32 can be
-    # restored there alone, keeping the narrow levels' bandwidth win.
+    # 81f margin work (VERDICT r3 item 3): all-bf16 storage shipped
+    # 0.0935mm worst of 24 seeds on a 0.1mm budget. The per-level error
+    # ablation (scripts/perf_lab32.py) found NO single tail-owning level —
+    # restoring f32 at ANY one level cuts worst-of-8 to ~0.0747mm (the
+    # boundary-rounding error is distributed evenly) — so the cheapest
+    # level wins: f32 at the C=512 tail level (tiny T=3 activations)
+    # measures 4,714 vs 4,725 seq/s (-0.2%) and 0.0747mm worst of 24.
+    # ADOPTED as the 81f production default via config_for_frames.
     # Levels cast at entry (activations astype + params/state
     # cast_floating); the final shrink runs at the last level's dtype.
     storage_dtype_levels: Tuple[str, ...] = ()
@@ -434,10 +438,17 @@ def config_for_frames(
     # ("auto"): measured within-budget (0.090/0.034 mm worst of 8 seeds)
     # at +31%/+26% — the narrow-channel architectures' short accumulations
     # keep bf16 error small where 27f/ch128's does not (0.26 mm). See the
-    # storage_dtype field's measured table.
+    # storage_dtype field's measured table. 81f additionally restores f32
+    # at the C=512 tail level (storage_dtype_levels, r4 perf_lab32):
+    # worst-of-24 error 0.0935 -> 0.0747 mm for -0.2% speed — the margin
+    # restoration VERDICT r3 item 3 asked for. ("float32" entries are
+    # no-ops when "auto" resolves to f32 off-TPU, so the override is
+    # backend-safe.)
     storage = "auto" if frames in (81, 243) else "float32"
+    storage_levels = ("", "", "", "float32") if frames == 81 else ()
     return GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
                          filter_widths=fw, channels=ch, causal=causal,
                          dropout=dropout, layout=layout,
                          precision_overrides=tuple(precision_overrides),
-                         gab_impl=gab_impl, storage_dtype=storage)
+                         gab_impl=gab_impl, storage_dtype=storage,
+                         storage_dtype_levels=storage_levels)

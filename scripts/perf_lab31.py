@@ -112,9 +112,15 @@ def measure(tier_name: str, batch: int):
           f"compile {cs:.0f}s)", flush=True)
 
     # --- fwd(remat) + bwd ---
-    fwd_remat = jax.checkpoint(gastnet_forward,
-                               static_argnums=(3,),
-                               static_argnames=("variant", "train"))
+    # (this JAX build's jax.checkpoint takes no static_argnames: close
+    # over the static config/variant instead)
+    _remat_inner = jax.checkpoint(
+        lambda p, s, xx, key: gastnet_forward(
+            p, s, xx, cfg, variant="strided", train=True, rng=key))
+
+    def fwd_remat(p, s, xx, _cfg, *, variant, train, rng):
+        assert variant == "strided" and train
+        return _remat_inner(p, s, xx, rng)
 
     @jax.jit
     def many_remat(params, bn_state):

@@ -51,6 +51,26 @@ def test_inference_entry_carries_mixed_preset():
     assert ("attn_cat", "default") not in TPU_MIXED_PRECISION_OVERRIDES
 
 
+def test_243f_kernel_route_tier_loosening():
+    """r4 perf_lab35 adoption: the 243f default ("auto" route + default
+    preset) drops the three in-kernel 3-pass dot classes to 1-pass
+    (1,361 vs 1,259 seq/s at 0.0321 mm worst of 24); explicit impl or
+    preset choices keep their own certified error tables."""
+    cfg = config_for_frames(243)
+    got = dict(cfg.precision_overrides)
+    assert got["attn_proj"] == got["attn_cat"] == got["gab_cat"] == "default"
+    # The loosening must precede (and not replace) the mixed preset.
+    assert cfg.precision_overrides[3:] == TPU_MIXED_PRECISION_OVERRIDES
+    # Opt-outs: explicit XLA route / explicit preset / other frame counts.
+    assert config_for_frames(243, gab_impl="xla").precision_overrides \
+        == TPU_MIXED_PRECISION_OVERRIDES
+    assert config_for_frames(
+        243, precision_overrides=()).precision_overrides == ()
+    for frames in (27, 81):
+        assert "attn_proj" not in dict(
+            config_for_frames(frames).precision_overrides)
+
+
 def test_precision_for_resolution():
     cfg = GastNetConfig(precision_overrides=(
         ("gab1.attn_proj", "highest"), ("attn_proj", "default")))

@@ -419,8 +419,9 @@ def config_for_frames(
     (``gab_impl="auto"`` = level-fused kernels incl. the fused level-0
     expand prefix on f32 paths — 20,127 seq/s at B=1024/27f,
     scripts/perf_lab30.py — and frame-packed pbatch kernels at C<128 +
-    per-GAB kernels at C>=128 on bf16-storage paths — 4,775/1,259 seq/s
-    at 81f/243f, scripts/perf_lab29.py). Pass
+    per-GAB kernels at C>=128 on bf16-storage paths — 4,775/1,361 seq/s
+    at 81f/243f, scripts/perf_lab29.py + the 243f 1-pass tier loosening
+    below, scripts/perf_lab35.py). Pass
     ``precision_overrides=()`` + ``gab_impl="xla"`` for the all-"high"
     bit-study mode; training builds GastNetConfig directly and stays
     all-"high"/XLA.

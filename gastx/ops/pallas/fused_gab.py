@@ -156,8 +156,9 @@ def _local_branch(xr, tm, j, c, dot,
                   w0c_ref, w1c_ref, wself_c_ref, wnbr_c_ref,
                   bnsym_scale_ref, bnsym_shift_ref, bncon_scale_ref,
                   bncon_shift_ref, lcat_w_ref, lcat_scale_ref,
-                  lcat_shift_ref, col_sym, col_con):
+                  lcat_shift_ref, col_sym, col_con, ablate=""):
     # ---- local branch: two sparse semantic graph convs ----
+    # ``ablate`` is a measurement-only hook (perf_lab36): "" in production.
     def sem_conv(w0_ref, w1_ref, wself_ref, wnbr_ref, col):
         h0 = dot(xr, w0_ref[:], "local_sem").reshape(tm, j, c)
         h1 = dot(xr, w1_ref[:], "local_sem").reshape(tm, j, c)
@@ -165,8 +166,10 @@ def _local_branch(xr, tm, j, c, dot,
         d = col.shape[1]
         for jq in range(j):
             acc = h0[:, jq, :] * wself_ref[jq, :]
-            for dd in range(d):
-                acc = acc + h1[:, int(col[jq, dd]), :] * wnbr_ref[jq, dd, :]
+            if ablate != "no_locloop":
+                for dd in range(d):
+                    acc = acc + (h1[:, int(col[jq, dd]), :]
+                                 * wnbr_ref[jq, dd, :])
             rows.append(acc)
         return jnp.stack(rows, axis=1)              # (TM, J, C)
 
@@ -219,7 +222,7 @@ def _global_branch(xr, tm, j, c, dot, dotg,
                    g_b_ref, proj_t_ref, proj_p_ref, ck_ref, acat_w_ref,
                    acat_scale_ref, acat_shift_ref,
                    num_heads, inter, g_ch, softmax_group=1,
-                   apply_block=False, score_block=False):
+                   apply_block=False, score_block=False, ablate=""):
     # ---- global branch (same structure as global_attn._kernel) ----
     # ``softmax_group`` batches the per-head LeakyReLU/softmax/+C_k chains
     # across G heads at a time by concatenating the G (TM, J, J) score
@@ -252,9 +255,16 @@ def _global_branch(xr, tm, j, c, dot, dotg,
     head_outs = []
     for k0 in range(0, num_heads, grp):
         ks = range(k0, min(k0 + grp, num_heads))
+        if ablate == "no_apply":
+            head_outs.extend(
+                gx[:, :, k * g_ch:(k + 1) * g_ch] for k in ks)
+            continue
         fs = []
         for k in ks:
-            if score_block:
+            if ablate == "no_scores":
+                sa = theta[:, k * inter:k * inter + 1].reshape(tm, j, 1)
+                sb = jnp.zeros((tm, j, 1), jnp.float32)
+            elif score_block:
                 sa = sa_all[:, k:k + 1].reshape(tm, j, 1)
                 sb = sb_all[:, k:k + 1].reshape(tm, j, 1)
             else:
@@ -267,11 +277,15 @@ def _global_branch(xr, tm, j, c, dot, dotg,
             fs.append(sa + jnp.swapaxes(sb, 1, 2))
         f = fs[0] if len(fs) == 1 else jnp.concatenate(fs, axis=1)
         f = jnp.where(f > 0, f, 0.2 * f)            # LeakyReLU(0.2)
-        f = f - jnp.max(f, axis=2, keepdims=True)
-        ef = jnp.exp(f)
-        attn = ef / jnp.sum(ef, axis=2, keepdims=True)
-        attn = attn + ck_ref[k0 * j:(k0 + len(fs)) * j, :].reshape(
-            1, len(fs) * j, j)
+        if ablate == "no_softmax":
+            attn = f + ck_ref[k0 * j:(k0 + len(fs)) * j, :].reshape(
+                1, len(fs) * j, j)
+        else:
+            f = f - jnp.max(f, axis=2, keepdims=True)
+            ef = jnp.exp(f)
+            attn = ef / jnp.sum(ef, axis=2, keepdims=True)
+            attn = attn + ck_ref[k0 * j:(k0 + len(fs)) * j, :].reshape(
+                1, len(fs) * j, j)
         if apply_block and len(fs) > 1:
             gx_grp = gx[:, :, k0 * g_ch:(k0 + len(fs)) * g_ch]
             out_blk = dotg(attn, gx_grp,
@@ -325,15 +339,20 @@ def _global_branch_v2(xr, tm, j, c, dot, dotg,
     return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
 
 
-def _run_local(form, xr, tm, j, c, dot, lrefs, local_aux):
+def _run_local(form, xr, tm, j, c, dot, lrefs, local_aux, ablate=""):
+    if ablate == "no_local":
+        return jnp.maximum(xr, 0.0)
     if form == "v2":
         return _local_branch_v2(xr, tm, j, c, dot, *lrefs, *local_aux)
-    return _local_branch(xr, tm, j, c, dot, *lrefs, *local_aux)
+    return _local_branch(xr, tm, j, c, dot, *lrefs, *local_aux,
+                         ablate=ablate)
 
 
 def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                 num_heads, inter, g_ch, softmax_group=1,
-                apply_block=False, score_block=False):
+                apply_block=False, score_block=False, ablate=""):
+    if ablate == "no_global":
+        return jnp.maximum(xr, 0.0)
     if form == "v2":
         return _global_branch_v2(xr, tm, j, c, dot, dotg, *grefs,
                                  num_heads=num_heads, inter=inter,
@@ -342,7 +361,7 @@ def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                           num_heads=num_heads, inter=inter, g_ch=g_ch,
                           softmax_group=softmax_group,
                           apply_block=apply_block,
-                          score_block=score_block)
+                          score_block=score_block, ablate=ablate)
 
 
 def _block_concat(xr, local, globl, c, dot,
@@ -367,7 +386,7 @@ def _kernel(x_ref, *refs,
             num_heads: int, inter: int, g_ch: int, j: int,
             local_aux, tiers, interpret: bool, form: str,
             softmax_group: int = 1, apply_block: bool = False,
-            score_block: bool = False):
+            score_block: bool = False, ablate: str = ""):
     out_ref = refs[-1]
     nl = _LOCAL_NREFS[form]
     lrefs = refs[:nl]
@@ -380,10 +399,10 @@ def _kernel(x_ref, *refs,
     xr = x_ref[:].astype(jnp.float32).reshape(tm * j, c)
     dot, dotg = _make_dots(tiers, interpret)
 
-    local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux)
+    local = _run_local(form, xr, tm, j, c, dot, lrefs, local_aux, ablate)
     globl = _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                         num_heads, inter, g_ch, softmax_group,
-                        apply_block, score_block)
+                        apply_block, score_block, ablate)
     y = _block_concat(xr, local, globl, c, dot, *crefs)
     out_ref[:] = y.reshape(tm, j, 2 * c).astype(out_ref.dtype)
 
@@ -629,14 +648,14 @@ def _tile_rows(x, tile_rows, budget):
                    static_argnames=("sym_idx", "con_idx", "interpret",
                                     "tile_rows", "precs", "tile_budget",
                                     "form", "softmax_group",
-                                    "apply_block", "score_block"))
+                                    "apply_block", "score_block", "ablate"))
 def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
               sym_idx: tuple, con_idx: tuple, *,
               interpret: bool = False, tile_rows: int = 0,
               precs: tuple = (), tile_budget: int = 2**12,
               form: str = "v1", softmax_group: int = 1,
               apply_block: bool = False,
-              score_block: bool = False) -> jnp.ndarray:
+              score_block: bool = False, ablate: str = "") -> jnp.ndarray:
     """x: (B, T, J, C) -> (B, T, J, 2C); eval-mode graph_attention_block.
 
     ``params``/``state``: the GAB subtree ({"local", "global", "cat_w",
@@ -680,7 +699,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
                           interpret=interpret, form=form,
                           softmax_group=softmax_group,
                           apply_block=apply_block,
-                          score_block=score_block),
+                          score_block=score_block, ablate=ablate),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], j_, 2 * c_),
                                        x.dtype),
         grid=(xf.shape[0] // tm,),
@@ -789,14 +808,15 @@ def _pbatch_tree(params: Dict, state: Dict, p: int):
                    static_argnames=("sym_idx", "con_idx", "pack",
                                     "interpret", "tile_rows", "precs",
                                     "tile_budget", "softmax_group",
-                                    "apply_block", "score_block"))
+                                    "apply_block", "score_block", "ablate"))
 def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
                      sym_idx: tuple, con_idx: tuple, *, pack: int,
                      interpret: bool = False, tile_rows: int = 0,
                      precs: tuple = (), tile_budget: int = 2**12,
                      softmax_group: int = 1,
                      apply_block: bool = False,
-                     score_block: bool = False) -> jnp.ndarray:
+                     score_block: bool = False,
+                     ablate: str = "") -> jnp.ndarray:
     """Frame-packed whole-block kernel: (B, T, J, C) -> (B, T, J, 2C) with
     ``pack`` FRAMES per lane group (pack*C <= MAX_FUSED_CHANNELS).
 
@@ -814,7 +834,8 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
                          interpret=interpret, tile_rows=tile_rows,
                          precs=precs, tile_budget=tile_budget, form="v1",
                          softmax_group=softmax_group,
-                         apply_block=apply_block, score_block=score_block)
+                         apply_block=apply_block, score_block=score_block,
+                         ablate=ablate)
     if pack * c_ > MAX_FUSED_CHANNELS:
         raise ValueError(
             f"fused_gab_pbatch: pack*C = {pack * c_} exceeds "
@@ -840,7 +861,7 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
                    tile_rows=tile_rows, precs=precs,
                    tile_budget=budget, form="v1",
                    softmax_group=softmax_group, apply_block=apply_block,
-                   score_block=score_block)
+                   score_block=score_block, ablate=ablate)
     y = yp.reshape(g, j_, pack, 2 * c_).transpose(0, 2, 1, 3) \
         .reshape(g * pack, j_, 2 * c_)
     return y[:m0].reshape(b0, t_, j_, 2 * c_)

@@ -369,13 +369,15 @@ TPU_MIXED_PRECISION_OVERRIDES: Tuple[Tuple[str, str], ...] = (
 TPU_MIXED_SAFE_OVERRIDES: Tuple[Tuple[str, str], ...] = \
     TPU_MIXED_PRECISION_OVERRIDES
 
-# 2-pass error-compensated tiers that exist only inside the Pallas
-# kernels (gastx/ops/pallas/precision.py): "high_lhs" keeps the
-# activations exact and rounds the weights to bf16, "high_rhs" the
-# reverse. XLA has no matching Precision enum, so model resolvers map
-# them to "high" on XLA paths (gastnet._forward) — valid in
-# precision_overrides, NOT as the base matmul_precision.
-KERNEL_ONLY_TIERS: Tuple[str, ...] = ("high_lhs", "high_rhs")
+# Tiers that exist only inside the Pallas kernels
+# (gastx/ops/pallas/precision.py): the 2-pass error-compensated pair —
+# "high_lhs" keeps the activations exact and rounds the weights to bf16,
+# "high_rhs" the reverse — and "kdefault", a kernel-only 1-pass bf16 dot.
+# XLA has no matching Precision enum (and "kdefault"'s point is to leave
+# XLA sites alone), so model resolvers map all three to "high" on XLA
+# paths (gastnet._forward) — valid in precision_overrides, NOT as the
+# base matmul_precision.
+KERNEL_ONLY_TIERS: Tuple[str, ...] = ("high_lhs", "high_rhs", "kdefault")
 
 
 def xla_precision(tier):
@@ -452,14 +454,23 @@ def config_for_frames(
     # remaining in-kernel "high" (3-pass) dot classes drop to 1-pass —
     # 1,259 -> 1,361 seq/s (+8.1%) at 0.0321 mm worst of 24 seeds (base
     # 0.0261) — the narrow-channel accumulations keep 1-pass error tiny.
-    # Applied only to the default preset on the default "auto" route so
-    # explicit gab_impl/preset choices keep their own measured error
-    # tables ("auto" resolves to XLA off-TPU, where these tiers are
-    # no-ops, so the override is backend-safe like storage="auto").
+    # "kdefault" is the KERNEL-ONLY 1-pass tier: it resolves where the
+    # route resolves — only dots that actually execute inside the Pallas
+    # kernels run 1-pass; every XLA matmul site (train=True forwards,
+    # non-TPU backends where "auto" falls back to XLA, explicit-impl
+    # sub-paths) maps it to "high", bitwise the pre-loosening certified
+    # behavior (r5 advisor fix; the r4 form used plain "default", which
+    # leaked real 1-pass bf16 into the XLA fallbacks). Applied only to
+    # the default preset on the default "auto" route so explicit
+    # gab_impl/preset choices keep their own measured error tables. The
+    # 24-seed cert (h36m17, non-causal) covers the shipped kernel route;
+    # causal/other-layout 243f configs inherit it on the project-wide
+    # convention that certs are taken at h36m17 (their kernels run the
+    # same dot shapes).
     if (frames == 243 and gab_impl == "auto"
             and overrides == TPU_MIXED_PRECISION_OVERRIDES):
-        overrides = (("attn_proj", "default"), ("attn_cat", "default"),
-                     ("gab_cat", "default")) + overrides
+        overrides = (("attn_proj", "kdefault"), ("attn_cat", "kdefault"),
+                     ("gab_cat", "kdefault")) + overrides
     return GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
                          filter_widths=fw, channels=ch, causal=causal,
                          dropout=dropout, layout=layout,

@@ -73,6 +73,20 @@ MAX_SPLIT_CHANNELS = 512
 KERNEL_OPS = ("local_sem", "local_cat", "attn_proj",
               "attn_score", "attn_apply", "attn_cat", "gab_cat")
 
+# Measurement-only surgical removals understood by the kernel bodies
+# (scripts/perf_lab36.py); "" is production. Validated at the entry
+# points: an unknown value would match no branch and silently compile
+# the FULL production kernel, so an ablation run could report numbers
+# for a removal that never happened (r4 advisor finding).
+ABLATE_VALUES = ("", "no_locloop", "no_softmax", "no_scores", "no_apply",
+                 "no_global", "no_local")
+
+
+def _check_ablate(ablate: str) -> None:
+    if ablate not in ABLATE_VALUES:
+        raise ValueError(
+            f"unknown ablate value {ablate!r}; valid: {ABLATE_VALUES}")
+
 
 def _fold_bn(params_bn: Dict, state_bn: Dict, eps: float = 1e-5):
     """BatchNorm eval-mode affine fold: y = x*scale + shift."""
@@ -670,6 +684,7 @@ def fused_gab(x: jnp.ndarray, params: Dict, state: Dict,
     unlisted ops inherit the ambient default_matmul_precision.
     """
     b_, t_, j_, c_ = x.shape
+    _check_ablate(ablate)
     if c_ > MAX_FUSED_CHANNELS:
         raise ValueError(
             f"fused_gab supports C <= {MAX_FUSED_CHANNELS}, got {c_}")
@@ -829,6 +844,7 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
     kernel and touch only the narrow C-wide tensors); v1 form only.
     """
     b0, t_, j_, c_ = x.shape
+    _check_ablate(ablate)
     if pack <= 1:
         return fused_gab(x, params, state, sym_idx, con_idx,
                          interpret=interpret, tile_rows=tile_rows,

@@ -20,6 +20,11 @@ precision_overrides) onto Mosaic-compilable dots:
                 gastx/models/config.py xla_precision).
   "high_rhs" -> 2-pass, rhs compensated: ah@bh + ah@bl == ah@b — weights
                 exact, activations rounded. KERNEL-ONLY, as above.
+  "kdefault" -> one bf16 pass, identical to "default" IN-KERNEL; the
+                model maps it to "high" on XLA sites. This is how the
+                243f loosening ships (config_for_frames): only dots that
+                execute inside kernels are loosened — train-mode and
+                non-TPU XLA fallbacks keep their certified 3-pass dots.
   "highest"  -> Precision.HIGHEST (6-pass)
 
 With ``interpret=True`` the "high" emulation is skipped (plain HIGHEST dot):
@@ -70,6 +75,15 @@ def _split_bf16(a):
 
 
 _EMULATED = ("high", "high_lhs", "high_rhs")
+# Every tier kdot understands; anything else is a config typo that would
+# otherwise silently run 1-pass via the DEFAULT fallback.
+_KNOWN_TIERS = _EMULATED + ("default", "kdefault", "highest")
+
+
+def _check_tier(tier: str) -> None:
+    if tier not in _KNOWN_TIERS:
+        raise ValueError(
+            f"unknown kernel precision tier {tier!r}; valid: {_KNOWN_TIERS}")
 
 
 def _emulated(d, a, b, tier):
@@ -84,6 +98,7 @@ def _emulated(d, a, b, tier):
 
 def kdot(a, b, tier: str = "default", *, interpret: bool = False):
     """2-D ``jnp.dot`` with an explicit Mosaic-supported precision tier."""
+    _check_tier(tier)
     if tier in _EMULATED and not interpret:
         def d(u, v):
             return jnp.dot(u, v, preferred_element_type=jnp.float32,
@@ -97,6 +112,7 @@ def kdot(a, b, tier: str = "default", *, interpret: bool = False):
 def kdot_general(a, b, dims, tier: str = "default", *,
                  interpret: bool = False):
     """``jax.lax.dot_general`` with an explicit precision tier."""
+    _check_tier(tier)
     if tier in _EMULATED and not interpret:
         def d(u, v):
             return jax.lax.dot_general(

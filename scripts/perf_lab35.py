@@ -85,6 +85,14 @@ def _combos(frames: int):
 
 def _cfg(frames: int, extra_overrides, impl_levels, budget=0):
     cfg = config_for_frames(frames, dropout=0.0)
+    # Post-adoption, config_for_frames(243) already prepends the three
+    # kdefault loosening pairs — strip any bare _KOPS entries so "base"
+    # keeps its documented meaning (3-pass kernels, the 1,259 seq/s /
+    # 0.0261 mm pre-adoption route) and kdef-all doesn't double-prepend
+    # (r4 advisor finding). Combo overrides are re-applied below.
+    cfg = dataclasses.replace(
+        cfg, precision_overrides=tuple(
+            p for p in cfg.precision_overrides if p[0] not in _KOPS))
     if budget:
         cfg = dataclasses.replace(cfg, gab_tile_budget=budget)
     if extra_overrides:

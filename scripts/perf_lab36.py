@@ -46,12 +46,23 @@ from gastx.ops.pallas.precision import resolve_tiers
 ITERS = 20
 B = 1024
 
-# (level, gab_input_T, gab_input_C, production impl) — 243f adopted route.
-GABS = {
-    "gab0": (0, 241, 32, "pbatch"),
-    "gab1": (1, 235, 64, "pbatch"),
-    "gab2": (2, 217, 128, "pallas"),
-    "gab3": (3, 163, 256, "pallas"),
+# (level, gab_input_T, gab_input_C, production impl), keyed by frame count
+# (r4 advisor fix: the table must match --frames or every stage feeds the
+# wrong shapes). 243f = the adopted pb01-w234 route; 81f = pb0-w123 (its
+# C=512 gab3 is the T=1 split-pair sliver, 0.5% of the route — omitted,
+# fused_gab_split has no ablate hooks).
+GABS_BY_FRAMES = {
+    243: {
+        "gab0": (0, 241, 32, "pbatch"),
+        "gab1": (1, 235, 64, "pbatch"),
+        "gab2": (2, 217, 128, "pallas"),
+        "gab3": (3, 163, 256, "pallas"),
+    },
+    81: {
+        "gab0": (0, 79, 64, "pbatch"),
+        "gab1": (1, 73, 128, "pallas"),
+        "gab2": (2, 55, 256, "pallas"),
+    },
 }
 
 ABLATES = ("full", "no_softmax", "no_scores", "no_apply", "no_global",
@@ -97,7 +108,8 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--frames", type=int, default=243)
+    ap.add_argument("--frames", type=int, default=243,
+                    choices=sorted(GABS_BY_FRAMES))
     ap.add_argument("--stages", default="gab1,gab2")
     ap.add_argument("--ablates", default=",".join(ABLATES))
     ap.add_argument("--score-block", action="store_true",
@@ -117,8 +129,9 @@ def main():
     bf16 = jnp.bfloat16
     r = np.random.default_rng(0)
 
+    gabs = GABS_BY_FRAMES[a.frames]
     for stage in stages:
-        i, t, c, impl = GABS[stage]
+        i, t, c, impl = gabs[stage]
         gp, gs = params["gabs"][i], state["gabs"][i]
         with jax.default_matmul_precision(cfg.matmul_precision):
             precs = resolve_tiers(_prec(cfg, f"gab{i}"), KERNEL_OPS)

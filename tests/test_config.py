@@ -58,7 +58,12 @@ def test_243f_kernel_route_tier_loosening():
     preset choices keep their own certified error tables."""
     cfg = config_for_frames(243)
     got = dict(cfg.precision_overrides)
-    assert got["attn_proj"] == got["attn_cat"] == got["gab_cat"] == "default"
+    # "kdefault" = 1-pass ONLY inside the Pallas kernels; XLA matmul
+    # sites (train, non-TPU fallbacks) map it back to "high" (r5 fix).
+    assert got["attn_proj"] == got["attn_cat"] == got["gab_cat"] \
+        == "kdefault"
+    from gastx.models.config import xla_precision
+    assert xla_precision("kdefault") == "high"
     # The loosening must precede (and not replace) the mixed preset.
     assert cfg.precision_overrides[3:] == TPU_MIXED_PRECISION_OVERRIDES
     # Opt-outs: explicit XLA route / explicit preset / other frame counts.

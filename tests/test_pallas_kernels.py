@@ -593,3 +593,79 @@ def test_gab_impl_levels_hybrid_matches_xla():
         for a, b in zip(jax.tree_util.tree_leaves(s_ref),
                         jax.tree_util.tree_leaves(s_got)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kdefault_tier_kernel_only():
+    """"kdefault" (the r5 form of the 243f loosening, perf_lab35): a
+    1-pass dot ONLY inside kernels — kdot treats it exactly like
+    "default" — while every XLA matmul site maps it to "high", so
+    train-mode / non-TPU fallbacks keep the certified 3-pass behavior.
+    Unknown tier strings must raise instead of silently running 1-pass."""
+    import dataclasses
+
+    from gastx.models import config_for_frames
+    from gastx.models.config import xla_precision
+    from gastx.models.gastnet import gastnet_forward
+    from gastx.ops.pallas.precision import kdot
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(kdot(a, b, "kdefault")),
+                                  np.asarray(kdot(a, b, "default")))
+    with pytest.raises(ValueError, match="unknown kernel precision tier"):
+        kdot(a, b, "defalt")
+    assert xla_precision("kdefault") == "high"
+
+    # The shipped 243f config carries the kdefault pairs; on a non-TPU
+    # backend ("auto" -> XLA) its forward must be BITWISE the forward
+    # with the loosening stripped — the leak the r4 advisor flagged.
+    cfg = dataclasses.replace(config_for_frames(243, dropout=0.0),
+                              filter_widths=(3, 3), channels=32)
+    assert dict(cfg.precision_overrides)["attn_proj"] == "kdefault"
+    stripped = dataclasses.replace(
+        cfg, precision_overrides=tuple(
+            p for p in cfg.precision_overrides if p[1] != "kdefault"))
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 9, 17, 2)).astype(np.float32))
+    y_loose = gastnet_forward(params, state, x, cfg,
+                              variant="dilated", train=False)[0]
+    y_strict = gastnet_forward(params, state, x, stripped,
+                               variant="dilated", train=False)[0]
+    np.testing.assert_array_equal(np.asarray(y_loose), np.asarray(y_strict))
+
+
+def test_ablate_validated_and_effective():
+    """The measurement-only ablate hooks (perf_lab36): a typo'd value must
+    raise (it would otherwise silently compile the FULL kernel and the
+    ablation would report numbers for a removal that never happened), and
+    a valid removal must actually change the output."""
+    from gastx.models import graph_statics
+    from gastx.ops.pallas.fused_gab import fused_gab, fused_gab_pbatch
+
+    cfg = GastNetConfig(dropout=0.0, filter_widths=(3, 3), channels=32)
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    st = graph_statics(cfg.layout)
+    sym = tuple(int(i) for i in st.sym_idx)
+    con = tuple(int(i) for i in st.con_idx)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 9, 17, 32)).astype(np.float32))
+    gp, gs = params["gabs"][0], state["gabs"][0]
+
+    with pytest.raises(ValueError, match="unknown ablate"):
+        fused_gab(x, gp, gs, sym, con, interpret=True, ablate="no_softmx")
+    with pytest.raises(ValueError, match="unknown ablate"):
+        fused_gab_pbatch(x, gp, gs, sym, con, pack=4, interpret=True,
+                         ablate="nosoftmax")
+
+    full = fused_gab(x, gp, gs, sym, con, interpret=True)
+    for ab in ("no_softmax", "no_apply", "no_global", "no_local",
+               "no_locloop", "no_scores"):
+        cut = fused_gab(x, gp, gs, sym, con, interpret=True, ablate=ab)
+        assert cut.shape == full.shape
+        assert not np.allclose(np.asarray(cut), np.asarray(full)), ab
+    # pbatch threads ablate through to the packed kernel body.
+    cut_p = fused_gab_pbatch(x, gp, gs, sym, con, pack=4, interpret=True,
+                             ablate="no_global")
+    full_p = fused_gab_pbatch(x, gp, gs, sym, con, pack=4, interpret=True)
+    assert not np.allclose(np.asarray(cut_p), np.asarray(full_p))

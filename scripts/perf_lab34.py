@@ -21,7 +21,7 @@ model/gast_net.py:139-176 at the 243-frame config
 (reconstruction.py:220-228).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_lab34.py
-       [--stages gab0,gab1,gab2,gab3,gab4,convs,total]
+       [--frames 243] [--stages gab0,gab1,gab2,gab3,gab4,convs,total]
 """
 from __future__ import annotations
 
@@ -39,21 +39,38 @@ from gastx.ops.temporal import pointwise, temporal_conv
 ITERS = 20
 B = 1024
 
-# (level, gab_input_T, gab_input_C, production impl)
-GABS = [
-    (0, 241, 32, "pallas_pbatch"),
-    (1, 235, 64, "pallas_pbatch"),
-    (2, 217, 128, "pallas"),
-    (3, 163, 256, "pallas"),
-    (4, 1, 512, "pallas"),
-]
+# (level, gab_input_T, gab_input_C, production impl), keyed by frame count.
+# 243f = the adopted pb01-w234 route; 81f = pb0-w123 (VERDICT r4 weak #4:
+# the 81f route never got this attribution).
+GABS_BY_FRAMES = {
+    243: [
+        (0, 241, 32, "pallas_pbatch"),
+        (1, 235, 64, "pallas_pbatch"),
+        (2, 217, 128, "pallas"),
+        (3, 163, 256, "pallas"),
+        (4, 1, 512, "pallas"),
+    ],
+    81: [
+        (0, 79, 64, "pallas_pbatch"),
+        (1, 73, 128, "pallas"),
+        (2, 55, 256, "pallas"),
+        (3, 1, 512, "pallas"),
+    ],
+}
 # (level, conv_input_T, channels, dilation) for the interior conv chains.
-CONVS = [
-    (1, 241, 64, 3),
-    (2, 235, 128, 9),
-    (3, 217, 256, 27),
-    (4, 163, 512, 81),
-]
+CONVS_BY_FRAMES = {
+    243: [
+        (1, 241, 64, 3),
+        (2, 235, 128, 9),
+        (3, 217, 256, 27),
+        (4, 163, 512, 81),
+    ],
+    81: [
+        (1, 79, 128, 3),
+        (2, 73, 256, 9),
+        (3, 55, 512, 27),
+    ],
+}
 
 
 def _timed_scan(fn, *args, iters=ITERS):
@@ -95,12 +112,14 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=243,
+                    choices=sorted(GABS_BY_FRAMES))
     ap.add_argument("--stages",
                     default="gab0,gab1,gab2,gab3,gab4,convs,total")
     a = ap.parse_args()
     want = {s.strip() for s in a.stages.split(",") if s.strip()}
 
-    cfg = config_for_frames(243, dropout=0.0)
+    cfg = config_for_frames(a.frames, dropout=0.0)
     params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
     statics = graph_statics(cfg.layout)
     bf16 = jnp.bfloat16
@@ -108,12 +127,17 @@ def main():
         lambda v: v.astype(bf16) if jnp.issubdtype(v.dtype, jnp.floating)
         else v, params)
     r = np.random.default_rng(0)
+    # Per-level storage dtype of the production route (81f restores f32 at
+    # the C=512 tail level — storage_dtype_levels, perf_lab32).
+    lds = [jnp.float32 if cfg.storage_dtype_for(i, "bfloat16") == "float32"
+           else bf16 for i in range(cfg.num_levels)]
 
-    for i, t, c, impl in GABS:
+    for i, t, c, impl in GABS_BY_FRAMES[a.frames]:
         if f"gab{i}" not in want:
             continue
         x = jnp.asarray(
-            r.standard_normal((B, t, 17, c)).astype(np.float32)).astype(bf16)
+            r.standard_normal((B, t, 17, c)).astype(np.float32)) \
+            .astype(lds[i])
 
         def gab(p, s, xx, _i=i, _impl=impl):
             return graph_attention_block(
@@ -124,7 +148,8 @@ def main():
                 gab_pbatch_max_pack=cfg.gab_pbatch_max_pack,
                 prec=_prec(cfg, f"gab{_i}"))[0]
         try:
-            ms, cs = _timed_scan(gab, params_b, state, x)
+            ms, cs = _timed_scan(
+                gab, params if lds[i] == jnp.float32 else params_b, state, x)
             print(f"  gab{i} C={c} T={t} {impl}: {ms:.2f} ms "
                   f"(compile {cs:.0f}s)", flush=True)
         except Exception as exc:  # noqa: BLE001 — Mosaic 500s surface here
@@ -135,13 +160,15 @@ def main():
         # All XLA conv work lumped in one jit: expand conv, the four
         # interior conv chains (dilated conv -> BN -> ReLU -> 1x1 -> BN
         # -> ReLU -> +residual), and the shrink.
+        convs_tbl = CONVS_BY_FRAMES[a.frames]
         xs = [jnp.asarray(r.standard_normal(
-            (B, t, 17, c)).astype(np.float32)).astype(bf16)
-            for _, t, c, _ in CONVS]
+            (B, t, 17, c)).astype(np.float32)).astype(lds[lvl])
+            for lvl, t, c, _ in convs_tbl]
         x_raw = jnp.asarray(r.standard_normal(
-            (B, 243, 17, 2)).astype(np.float32)).astype(bf16)
+            (B, a.frames, 17, 2)).astype(np.float32)).astype(lds[0])
         x_shrink = jnp.asarray(r.standard_normal(
-            (B, 1, 17 * 1024)).astype(np.float32)).astype(bf16)
+            (B, 1, 17 * cfg.out_channels)).astype(np.float32)) \
+            .astype(lds[-1])
 
         def convs(p, _s, *inputs):
             x_r, x_sh = inputs[0], inputs[1]
@@ -149,8 +176,11 @@ def main():
             y = temporal_conv(x_r, p["expand_conv"]["w"],
                               precision=xla_precision("high"))
             outs.append(jnp.sum(y.astype(jnp.float32)))
-            for (lvl, _t, _c, dil), xx in zip(CONVS, inputs[2:]):
-                bp = p["temporal"][lvl - 1]
+            for (lvl, _t, _c, dil), xx in zip(convs_tbl, inputs[2:]):
+                bp = jax.tree.map(
+                    lambda v, _d=lds[lvl]: v.astype(_d)
+                    if jnp.issubdtype(v.dtype, jnp.floating) else v,
+                    p["temporal"][lvl - 1])
                 lp = _prec(cfg, f"lvl{lvl}")
                 res = xx[:, dil: xx.shape[1] - dil]
                 z = temporal_conv(xx, bp["conv_t"]["w"], dilation=dil,
@@ -159,8 +189,8 @@ def main():
                 z = pointwise(z, bp["conv_1"]["w"], precision=lp("mid1x1"))
                 z = jax.nn.relu(z)
                 outs.append(jnp.sum((res + z).astype(jnp.float32)))
-            y = pointwise(x_sh.reshape(B, 1, 17, 1024),
-                          p["shrink"]["w"].reshape(1024, -1)
+            y = pointwise(x_sh.reshape(B, 1, 17, cfg.out_channels),
+                          p["shrink"]["w"].reshape(cfg.out_channels, -1)
                           if p["shrink"]["w"].ndim == 2
                           else p["shrink"]["w"],
                           precision=xla_precision("high"))
@@ -178,7 +208,7 @@ def main():
 
     if "total" in want:
         x = jnp.asarray(r.standard_normal(
-            (B, 243, 17, 2)).astype(np.float32))
+            (B, a.frames, 17, 2)).astype(np.float32))
 
         def full(p, s, xx):
             return gastnet_forward(p, s, xx, cfg, variant="dilated",

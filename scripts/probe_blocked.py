@@ -66,9 +66,9 @@ def probe_packed():
     params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
     st = graph_statics(cfg.layout)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (4, 9, 17, 32)).astype(np.float32))
+        (4, 9, 17 * 32)).astype(np.float32))
     try:
-        y = fused_gab_packed(x, params["gabs"][0], state["gabs"][0],
+        y = fused_gab_packed(x, params["gabs"][0], state["gabs"][0], 17,
                              tuple(int(i) for i in st.sym_idx),
                              tuple(int(i) for i in st.con_idx))
         print("[probe 2: joint-packed layout] PASS:",

@@ -63,12 +63,16 @@ class GastNetConfig:
     # VMEM by 540K (stack 16.53M). 4096 is the measured optimum.
     gab_tile_budget: int = 4096
     # Fused-kernel compute form (gastx/ops/pallas/fused_gab.py): "v1" —
-    # the r3-certified per-joint-FMA/per-head-dot bodies — or "v2" — the
+    # the r3-certified per-joint-FMA/per-head-dot bodies — "v2" — the
     # compute-restructured bodies (merged wide dots, roll-based local
     # aggregation, block-diagonal score projections; same math to
-    # roundoff). perf_lab17 attribution showed the kernel path is
-    # compute/overhead-bound, which v2 targets; see perf_lab18 for the
-    # on-chip A/B.
+    # roundoff; measured slower, perf_lab18) — or "fold" (r5) — v1 local
+    # branch + score-folded global branch: the theta/phi projections and
+    # all 2K rank-1 score dots pre-contract into TWO thin (C, K) dots
+    # (no nonlinearity sits between projection and score, so
+    # (x@Wt_k+bt_k)@pt_k == x@(Wt_k@pt_k)+bt_k.pt_k exactly; the f32
+    # contraction regroups -> roundoff-level divergence, needs its own
+    # on-chip error cert; perf_lab40).
     gab_kernel_form: str = "v1"
     # Heads per batched softmax chain inside the fused kernels (v1 form):
     # the per-head LeakyReLU/softmax/+C_k chains concat along the sublane

@@ -390,7 +390,7 @@ def graph_attention_block(
                 tuple(int(i) for i in statics.con_idx),
                 pack=pack, interpret=gab_impl.endswith("_interpret"),
                 precs=resolve_tiers(prec, KERNEL_OPS),
-                tile_budget=gab_tile_budget,
+                tile_budget=gab_tile_budget, form=gab_kernel_form,
                 softmax_group=gab_softmax_group,
                 apply_block=gab_apply_block, score_block=gab_score_block)
             return y, state

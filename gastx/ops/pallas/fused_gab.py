@@ -159,10 +159,24 @@ def _roll_tables(w_nbr: jnp.ndarray, col, valid, j: int):
 #     score dots collapse into two block-diagonal (K*I, K) dots. Same
 #     math; the only reordered f32 sums are the neighbor adds (grouped
 #     by shift instead of by d), so v1/v2 agree to roundoff.
+#   * "fold" — v1 local branch + score-FOLDED global branch (r5,
+#     perf_lab36 attribution: at the shipped 243f/81f routes the per-head
+#     rank-1 score dots cost ~138 ms route-wide and theta/phi exist ONLY
+#     to feed them). Since there is no nonlinearity between the
+#     projection and the score, sa_k = (x @ Wt_k + bt_k) @ pt_k
+#     == x @ (Wt_k @ pt_k) + bt_k.pt_k: the theta/phi projections AND
+#     all 2K per-head score dots collapse into TWO thin (C, K) dots
+#     against statically folded weights (host-side, HIGHEST precision).
+#     Exact in exact arithmetic; the f32 contraction regroups (C-sum of
+#     I-sums -> one C-sum), so scores agree to roundoff, NOT bitwise —
+#     adoption requires its own on-chip error certification (same class
+#     of divergence as gab_score_block, lab24/lab29 harness).
+#     Reference semantics: model/global_attention.py:60-130 (the
+#     concat_project rank-1 attention this folds).
 # --------------------------------------------------------------------------
 
-_LOCAL_NREFS = {"v1": 15, "v2": 12}
-_GLOBAL_NREFS = {"v1": 12, "v2": 8}
+_LOCAL_NREFS = {"v1": 15, "v2": 12, "fold": 15}
+_GLOBAL_NREFS = {"v1": 12, "v2": 8, "fold": 10}
 
 
 def _local_branch(xr, tm, j, c, dot,
@@ -353,6 +367,69 @@ def _global_branch_v2(xr, tm, j, c, dot, dotg,
     return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
 
 
+def _global_branch_fold(xr, tm, j, c, dot, dotg,
+                        wsa_ref, wsb_ref, bsa_ref, bsb_ref, g_w_ref,
+                        g_b_ref, ck_ref, acat_w_ref, acat_scale_ref,
+                        acat_shift_ref, num_heads, g_ch,
+                        softmax_group=1, apply_block=False, ablate=""):
+    # Score-folded global branch (form="fold"): the theta/phi projections
+    # and the 2K rank-1 score dots are pre-contracted into wsa/wsb
+    # (C, K) host-side (see _global_ins_fold), so the in-kernel score
+    # work is TWO thin dots total. gx and everything downstream of the
+    # scores (grouped softmax chains, per-head apply dots, attn_cat) is
+    # the v1 body unchanged.
+    gx = (dot(xr, g_w_ref[:], "attn_proj")
+          + g_b_ref[:]).reshape(tm, j, num_heads * g_ch)
+    sa_all = dot(xr, wsa_ref[:], "attn_score") + bsa_ref[:]   # (TM*J, K)
+    sb_all = dot(xr, wsb_ref[:], "attn_score") + bsb_ref[:]
+
+    grp = max(1, min(softmax_group, num_heads))
+    head_outs = []
+    for k0 in range(0, num_heads, grp):
+        ks = range(k0, min(k0 + grp, num_heads))
+        if ablate == "no_apply":
+            head_outs.extend(
+                gx[:, :, k * g_ch:(k + 1) * g_ch] for k in ks)
+            continue
+        fs = []
+        for k in ks:
+            if ablate == "no_scores":
+                sa = sa_all[:, 0:1].reshape(tm, j, 1)
+                sb = jnp.zeros((tm, j, 1), jnp.float32)
+            else:
+                sa = sa_all[:, k:k + 1].reshape(tm, j, 1)
+                sb = sb_all[:, k:k + 1].reshape(tm, j, 1)
+            fs.append(sa + jnp.swapaxes(sb, 1, 2))
+        f = fs[0] if len(fs) == 1 else jnp.concatenate(fs, axis=1)
+        f = jnp.where(f > 0, f, 0.2 * f)            # LeakyReLU(0.2)
+        if ablate == "no_softmax":
+            attn = f + ck_ref[k0 * j:(k0 + len(fs)) * j, :].reshape(
+                1, len(fs) * j, j)
+        else:
+            f = f - jnp.max(f, axis=2, keepdims=True)
+            ef = jnp.exp(f)
+            attn = ef / jnp.sum(ef, axis=2, keepdims=True)
+            attn = attn + ck_ref[k0 * j:(k0 + len(fs)) * j, :].reshape(
+                1, len(fs) * j, j)
+        if apply_block and len(fs) > 1:
+            gx_grp = gx[:, :, k0 * g_ch:(k0 + len(fs)) * g_ch]
+            out_blk = dotg(attn, gx_grp,
+                           (((2,), (1,)), ((0,), (0,))), "attn_apply")
+            for i, k in enumerate(ks):
+                head_outs.append(
+                    out_blk[:, i * j:(i + 1) * j,
+                            i * g_ch:(i + 1) * g_ch])
+        else:
+            for i, k in enumerate(ks):
+                ak = attn if len(fs) == 1 else attn[:, i * j:(i + 1) * j, :]
+                gk = gx[:, :, k * g_ch:(k + 1) * g_ch]
+                head_outs.append(dotg(
+                    ak, gk, (((2,), (1,)), ((0,), (0,))), "attn_apply"))
+    gy = jnp.concatenate(head_outs, axis=2)
+    gy = dot(gy.reshape(tm * j, num_heads * g_ch), acat_w_ref[:], "attn_cat")
+    return jnp.maximum(gy * acat_scale_ref[:] + acat_shift_ref[:], 0.0)
+
+
 def _run_local(form, xr, tm, j, c, dot, lrefs, local_aux, ablate=""):
     if ablate == "no_local":
         return jnp.maximum(xr, 0.0)
@@ -367,6 +444,11 @@ def _run_global(form, xr, tm, j, c, dot, dotg, grefs,
                 apply_block=False, score_block=False, ablate=""):
     if ablate == "no_global":
         return jnp.maximum(xr, 0.0)
+    if form == "fold":
+        return _global_branch_fold(xr, tm, j, c, dot, dotg, *grefs,
+                                   num_heads=num_heads, g_ch=g_ch,
+                                   softmax_group=softmax_group,
+                                   apply_block=apply_block, ablate=ablate)
     if form == "v2":
         return _global_branch_v2(xr, tm, j, c, dot, dotg, *grefs,
                                  num_heads=num_heads, inter=inter,
@@ -582,6 +664,48 @@ def _global_ins(gp, state, j_, c_, k, inter, g_ch, score_block=False):
     ]
 
 
+def _global_ins_fold(gp, state, j_, c_, k, g_ch):
+    """fold-form global inputs: the theta/phi projections pre-contracted
+    with their rank-1 score vectors. sa_k = (x @ Wt_k + bt_k) @ pt_k
+    == x @ (Wt_k @ pt_k) + bt_k.pt_k, so the kernel's score work becomes
+    two (C, K) dots. The fold runs host-side at HIGHEST precision (the
+    weights are static; only the kernel's C-long contraction regroups the
+    f32 sums vs v1's I-long score dots). Works unchanged on _pbatch_tree
+    output: heads_diag keeps off-sample blocks exactly zero, so the
+    folded (P*C, P*K) weight is block-diagonal over packed frames."""
+    acat = _fold_bn(gp["cat_bn"], state["global"]["cat_bn"])
+    vm = pltpu.VMEM
+    hi = jax.lax.Precision.HIGHEST
+
+    def cols(w, width):  # (K, C, width) -> (C, K*width), k-major columns
+        return jnp.transpose(w, (1, 0, 2)).reshape(c_, k * width)
+
+    wsa = jnp.einsum("kci,ki->ck", gp["theta_w"], gp["proj_theta"],
+                     precision=hi)
+    wsb = jnp.einsum("kci,ki->ck", gp["phi_w"], gp["proj_phi"],
+                     precision=hi)
+    bsa = jnp.einsum("ki,ki->k", gp["theta_b"], gp["proj_theta"],
+                     precision=hi).reshape(1, k)
+    bsb = jnp.einsum("ki,ki->k", gp["phi_b"], gp["proj_phi"],
+                     precision=hi).reshape(1, k)
+
+    return [
+        (wsa, pl.BlockSpec((c_, k), _full, memory_space=vm)),
+        (wsb, pl.BlockSpec((c_, k), _full, memory_space=vm)),
+        (bsa, pl.BlockSpec((1, k), _full, memory_space=vm)),
+        (bsb, pl.BlockSpec((1, k), _full, memory_space=vm)),
+        (cols(gp["g_w"], g_ch),
+         pl.BlockSpec((c_, k * g_ch), _full, memory_space=vm)),
+        (gp["g_b"].reshape(1, k * g_ch),
+         pl.BlockSpec((1, k * g_ch), _full, memory_space=vm)),
+        (gp["C_k"].reshape(k * j_, j_),
+         pl.BlockSpec((k * j_, j_), _full, memory_space=vm)),
+        (gp["cat_w"], pl.BlockSpec((k * g_ch, c_), _full, memory_space=vm)),
+        (acat[0], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+        (acat[1], pl.BlockSpec((1, c_), _full, memory_space=vm)),
+    ]
+
+
 def _global_ins_v2(gp, state, j_, c_, k, inter, g_ch):
     """v2-form global inputs: one merged (C, K*(2I+G)) projection weight +
     bias and block-diagonal (K*I, K) score projections."""
@@ -616,6 +740,8 @@ def _global_ins_v2(gp, state, j_, c_, k, inter, g_ch):
 
 def _global_ins_form(form, gp, state, j_, c_, k, inter, g_ch,
                      score_block=False):
+    if form == "fold":
+        return _global_ins_fold(gp, state, j_, c_, k, g_ch)
     if form == "v2":
         return _global_ins_v2(gp, state, j_, c_, k, inter, g_ch)
     return _global_ins(gp, state, j_, c_, k, inter, g_ch,
@@ -822,13 +948,13 @@ def _pbatch_tree(params: Dict, state: Dict, p: int):
 @functools.partial(jax.jit,
                    static_argnames=("sym_idx", "con_idx", "pack",
                                     "interpret", "tile_rows", "precs",
-                                    "tile_budget", "softmax_group",
+                                    "tile_budget", "form", "softmax_group",
                                     "apply_block", "score_block", "ablate"))
 def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
                      sym_idx: tuple, con_idx: tuple, *, pack: int,
                      interpret: bool = False, tile_rows: int = 0,
                      precs: tuple = (), tile_budget: int = 2**12,
-                     softmax_group: int = 1,
+                     form: str = "v1", softmax_group: int = 1,
                      apply_block: bool = False,
                      score_block: bool = False,
                      ablate: str = "") -> jnp.ndarray:
@@ -841,14 +967,14 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
     pairs packs as well as B=1024 training windows, with at most pack-1
     zero frames of padding. Same contract as :func:`fused_gab` (classic
     layout in and out — the pack/unpack transposes run in XLA around the
-    kernel and touch only the narrow C-wide tensors); v1 form only.
+    kernel and touch only the narrow C-wide tensors); v1/fold forms.
     """
     b0, t_, j_, c_ = x.shape
     _check_ablate(ablate)
     if pack <= 1:
         return fused_gab(x, params, state, sym_idx, con_idx,
                          interpret=interpret, tile_rows=tile_rows,
-                         precs=precs, tile_budget=tile_budget, form="v1",
+                         precs=precs, tile_budget=tile_budget, form=form,
                          softmax_group=softmax_group,
                          apply_block=apply_block, score_block=score_block,
                          ablate=ablate)
@@ -875,7 +1001,7 @@ def fused_gab_pbatch(x: jnp.ndarray, params: Dict, state: Dict,
     budget = tile_budget * 8 // max(8, k_eff)
     yp = fused_gab(xp, pp, ps, sym_idx, con_idx, interpret=interpret,
                    tile_rows=tile_rows, precs=precs,
-                   tile_budget=budget, form="v1",
+                   tile_budget=budget, form=form,
                    softmax_group=softmax_group, apply_block=apply_block,
                    score_block=score_block, ablate=ablate)
     y = yp.reshape(g, j_, pack, 2 * c_).transpose(0, 2, 1, 3) \

@@ -20,7 +20,7 @@ model/global_attention.py:85-130 (per-head f = theta_k @ p_t +
 (phi_k @ p_p)^T chains at every frame).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_lab38.py
-       [--frames 243,81] [--combos base,sb,ab,sb-ab] [--err-combo sb]
+       [--frames 243,81] [--combos base,sb,ab,sb-ab,fold] [--err-combo sb]
        [--err-only | --speed-only] [--deep]
 """
 from __future__ import annotations
@@ -37,19 +37,24 @@ from gastx.models import config_for_frames, gastnet_forward, init_gastnet
 ITERS = 20
 B = 1024
 
-# (name, score_block, apply_block)
+# (name, score_block, apply_block, kernel_form)
 COMBOS = (
-    ("base", False, False),   # == production
-    ("sb", True, False),
-    ("ab", False, True),
-    ("sb-ab", True, True),
+    ("base", False, False, "v1"),   # == production
+    ("sb", True, False, "v1"),
+    ("ab", False, True, "v1"),
+    ("sb-ab", True, True, "v1"),
+    # r5 fold form: theta/phi projections + all 2K rank-1 score dots
+    # pre-contracted into two thin (C, K) dots (fused_gab.py
+    # _global_branch_fold) — removes the lab36 score-dot term entirely
+    # instead of restructuring it like sb.
+    ("fold", False, False, "fold"),
 )
 
 
-def _cfg(frames: int, sb: bool, ab: bool):
+def _cfg(frames: int, sb: bool, ab: bool, form: str = "v1"):
     return dataclasses.replace(
         config_for_frames(frames, dropout=0.0),
-        gab_score_block=sb, gab_apply_block=ab)
+        gab_score_block=sb, gab_apply_block=ab, gab_kernel_form=form)
 
 
 def _timed_scan(fwd, params, state, x, iters=ITERS):
@@ -76,10 +81,10 @@ def speed(frames: int, combos):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
         (B, frames, 17, 2)).astype(np.float32))
-    for name, sb, ab in COMBOS:
+    for name, sb, ab, form in COMBOS:
         if name not in combos:
             continue
-        cfg = _cfg(frames, sb, ab)
+        cfg = _cfg(frames, sb, ab, form)
 
         def fwd(p, s, xx, _cfg=cfg):
             return gastnet_forward(p, s, xx, _cfg, variant="dilated",
@@ -94,13 +99,13 @@ def speed(frames: int, combos):
 
 
 def err(frames: int, combo_name: str, seeds: int):
-    _, sb, ab = next(c for c in COMBOS if c[0] == combo_name)
-    cfg = _cfg(frames, sb, ab)
+    _, sb, ab, form = next(c for c in COMBOS if c[0] == combo_name)
+    cfg = _cfg(frames, sb, ab, form)
     exact = dataclasses.replace(
         cfg, matmul_precision="highest", precision_overrides=(),
         gab_impl="xla", gab_impl_levels=(), storage_dtype="float32",
         storage_dtype_levels=(), gab_score_block=False,
-        gab_apply_block=False)
+        gab_apply_block=False, gab_kernel_form="v1")
 
     @jax.jit
     def fwd(p, s, xx):

@@ -430,6 +430,74 @@ def test_kernel_form_v2_matches_v1(num_joints, layout):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
 
+def test_kernel_form_fold_matches_v1():
+    """The score-folded "fold" kernel form: sa_k = (x@Wt_k + bt_k)@pt_k
+    == x@(Wt_k@pt_k) + bt_k.pt_k, so the theta/phi projections and all 2K
+    rank-1 score dots pre-contract into two thin (C, K) dots (host-side,
+    HIGHEST precision). Exact in exact arithmetic; the kernel's C-long
+    f32 contraction regroups v1's I-long score sums, so the forms agree
+    to roundoff (NOT bitwise) on every entry point — whole-block, split,
+    pbatch, level-fused, and the full forward."""
+    import dataclasses
+
+    from gastx.models import graph_statics
+    from gastx.models.gastnet import gastnet_forward
+    from gastx.ops.pallas.fused_gab import (fused_gab, fused_gab_pbatch,
+                                            fused_gab_split)
+
+    cfg = GastNetConfig(dropout=0.0, gab_impl="pallas_interpret")
+    params, state = init_gastnet(jax.random.PRNGKey(0), cfg)
+    statics = graph_statics(cfg.layout)
+    sym = tuple(int(i) for i in statics.sym_idx)
+    con = tuple(int(i) for i in statics.con_idx)
+    rng = np.random.default_rng(17)
+
+    # whole-block at C=128, with the production softmax grouping
+    x0 = jnp.asarray(rng.standard_normal((2, 25, 17, 128)).astype(np.float32))
+    gp0, gs0 = params["gabs"][0], state["gabs"][0]
+    ref, _ = G.graph_attention_block(x0, gp0, gs0, statics,
+                                     train=False, dropout_rate=0.0)
+    got = fused_gab(x0, gp0, gs0, sym, con, interpret=True, form="fold",
+                    softmax_group=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-4)
+
+    # split form at C=512
+    x2 = jnp.asarray(rng.standard_normal((2, 1, 17, 512)).astype(np.float32))
+    gp2, gs2 = params["gabs"][2], state["gabs"][2]
+    v1 = fused_gab_split(x2, gp2, gs2, sym, con, interpret=True, form="v1")
+    fd = fused_gab_split(x2, gp2, gs2, sym, con, interpret=True, form="fold")
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(v1), atol=1e-5,
+                               rtol=1e-4)
+
+    # frame-packed form at C=32 (the folded weight must stay block-
+    # diagonal over packed frames: heads_diag zeros the off-sample blocks)
+    cfg_n = GastNetConfig(filter_widths=(3, 3, 3, 3, 3), channels=32,
+                          dropout=0.0)
+    pn, sn = init_gastnet(jax.random.PRNGKey(1), cfg_n)
+    xn = jnp.asarray(rng.standard_normal((3, 5, 17, 32)).astype(np.float32))
+    refn, _ = G.graph_attention_block(xn, pn["gabs"][0], sn["gabs"][0],
+                                      statics, train=False, dropout_rate=0.0)
+    gotn = fused_gab_pbatch(
+        xn, pn["gabs"][0], sn["gabs"][0], sym, con, pack=4, interpret=True,
+        form="fold", softmax_group=8)
+    np.testing.assert_allclose(np.asarray(gotn), np.asarray(refn),
+                               atol=1e-5, rtol=1e-4)
+
+    # full forward on every fused route
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 2)).astype(np.float32))
+    a = gastnet_forward(params, state, x, cfg,
+                        variant="dilated", train=False)[0]
+    for impl in ("pallas_interpret", "pallas_level_interpret"):
+        cf = dataclasses.replace(cfg, gab_impl=impl,
+                                 gab_kernel_form="fold",
+                                 gab_softmax_group=8)
+        b = gastnet_forward(params, state, x, cf,
+                            variant="dilated", train=False)[0]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_softmax_group_bitwise_equal():
     """gab_softmax_group batches the per-head LeakyReLU/softmax/+C_k
     chains across heads (concat along the sublane axis -> one VPU chain

@@ -117,6 +117,9 @@ def main():
     ap.add_argument("--apply-block", action="store_true",
                     help="run every combo with gab_apply_block=True "
                          "(r3 Mosaic-500 probe at K=8; K=4 here)")
+    ap.add_argument("--form", default="v1", choices=("v1", "v2", "fold"),
+                    help="kernel form for every combo (fold = r5 "
+                         "score-folded global branch)")
     a = ap.parse_args()
     stages = [s.strip() for s in a.stages.split(",") if s.strip()]
     ablates = [s.strip() for s in a.ablates.split(",") if s.strip()]
@@ -144,12 +147,12 @@ def main():
             def gab(xx, _ab=ab_arg, _impl=impl, _c=c):
                 kw = dict(precs=precs, tile_budget=cfg.gab_tile_budget,
                           softmax_group=cfg.gab_softmax_group, ablate=_ab,
-                          score_block=a.score_block,
+                          form=a.form, score_block=a.score_block,
                           apply_block=a.apply_block)
                 if _impl == "pbatch":
                     return fused_gab_pbatch(xx, gp, gs, sym, con,
                                             pack=128 // _c, **kw)
-                return fused_gab(xx, gp, gs, sym, con, form="v1", **kw)
+                return fused_gab(xx, gp, gs, sym, con, **kw)
             try:
                 with jax.default_matmul_precision(cfg.matmul_precision):
                     ms, cs = _timed_scan(gab, x)

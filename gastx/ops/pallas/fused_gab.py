@@ -380,8 +380,14 @@ def _global_branch_fold(xr, tm, j, c, dot, dotg,
     # the v1 body unchanged.
     gx = (dot(xr, g_w_ref[:], "attn_proj")
           + g_b_ref[:]).reshape(tm, j, num_heads * g_ch)
-    sa_all = dot(xr, wsa_ref[:], "attn_score") + bsa_ref[:]   # (TM*J, K)
-    sb_all = dot(xr, wsb_ref[:], "attn_score") + bsb_ref[:]
+    # 3-D (tm, j, K) + per-head LANE slices — the exact slicing pattern
+    # the production gx path uses. The first-draft 2-D (TM*J, K) column
+    # slices blew the 16M scoped-VMEM stack at the pbatch TM=16 tiles
+    # (17.70M, AOT OOM); same elements, different Mosaic allocation.
+    sa_all = (dot(xr, wsa_ref[:], "attn_score")
+              + bsa_ref[:]).reshape(tm, j, num_heads)
+    sb_all = (dot(xr, wsb_ref[:], "attn_score")
+              + bsb_ref[:]).reshape(tm, j, num_heads)
 
     grp = max(1, min(softmax_group, num_heads))
     head_outs = []
@@ -394,11 +400,11 @@ def _global_branch_fold(xr, tm, j, c, dot, dotg,
         fs = []
         for k in ks:
             if ablate == "no_scores":
-                sa = sa_all[:, 0:1].reshape(tm, j, 1)
+                sa = sa_all[:, :, 0:1]
                 sb = jnp.zeros((tm, j, 1), jnp.float32)
             else:
-                sa = sa_all[:, k:k + 1].reshape(tm, j, 1)
-                sb = sb_all[:, k:k + 1].reshape(tm, j, 1)
+                sa = sa_all[:, :, k:k + 1]
+                sb = sb_all[:, :, k:k + 1]
             fs.append(sa + jnp.swapaxes(sb, 1, 2))
         f = fs[0] if len(fs) == 1 else jnp.concatenate(fs, axis=1)
         f = jnp.where(f > 0, f, 0.2 * f)            # LeakyReLU(0.2)

@@ -120,6 +120,9 @@ def main():
     ap.add_argument("--form", default="v1", choices=("v1", "v2", "fold"),
                     help="kernel form for every combo (fold = r5 "
                          "score-folded global branch)")
+    ap.add_argument("--tile-budget", type=int, default=0,
+                    help="override cfg.gab_tile_budget (scoped-VMEM "
+                         "probe; pbatch auto-scales it by 8/K')")
     a = ap.parse_args()
     stages = [s.strip() for s in a.stages.split(",") if s.strip()]
     ablates = [s.strip() for s in a.ablates.split(",") if s.strip()]
@@ -145,7 +148,8 @@ def main():
             ab_arg = "" if ab == "full" else ab
 
             def gab(xx, _ab=ab_arg, _impl=impl, _c=c):
-                kw = dict(precs=precs, tile_budget=cfg.gab_tile_budget,
+                kw = dict(precs=precs,
+                          tile_budget=a.tile_budget or cfg.gab_tile_budget,
                           softmax_group=cfg.gab_softmax_group, ablate=_ab,
                           form=a.form, score_block=a.score_block,
                           apply_block=a.apply_block)

@@ -74,6 +74,15 @@ class GastNetConfig:
     # contraction regroups -> roundoff-level divergence, needs its own
     # on-chip error cert; perf_lab40).
     gab_kernel_form: str = "v1"
+    # Optional PER-LEVEL override of gab_kernel_form: one entry per level
+    # ("" or "inherit" falls back to gab_kernel_form). Motivated by the r5
+    # fold bisection (scripts/perf_lab36.py --form fold): fold WINS at the
+    # frame-packed pbatch stages (243f gab0 K'=32: 157.5 vs 168.6 ms) but
+    # LOSES at the K=8 per-GAB stages (gab2 205.4 vs 190.6, gab3 188.7 vs
+    # 181.1 — the two thin small-lane score dots + 3-D lane slices relayout
+    # worse than v1's per-head sliver dots at low head counts), so fold
+    # ships per-level where measured faster.
+    gab_kernel_form_levels: Tuple[str, ...] = ()
     # Heads per batched softmax chain inside the fused kernels (v1 form):
     # the per-head LeakyReLU/softmax/+C_k chains concat along the sublane
     # (query-joint) axis and run as ONE VPU chain per group — bitwise-
@@ -205,6 +214,15 @@ class GastNetConfig:
                 return v
         return self.gab_impl
 
+    def gab_form_for(self, i: int) -> str:
+        """gab_kernel_form for level ``i``: the per-level override when
+        set."""
+        if i < len(self.gab_kernel_form_levels):
+            v = self.gab_kernel_form_levels[i]
+            if v and v != "inherit":
+                return v
+        return self.gab_kernel_form
+
     def storage_dtype_for(self, i: int, resolved: str) -> str:
         """Storage dtype for level ``i``: the per-level override when set,
         else ``resolved`` (the caller's already-"auto"-resolved
@@ -245,6 +263,16 @@ class GastNetConfig:
                 raise ValueError(
                     f"unknown gab_impl_levels entry {v!r}; valid: "
                     f"{VALID_GAB_IMPLS + ('', 'inherit')}")
+        if len(self.gab_kernel_form_levels) > self.num_levels:
+            raise ValueError(
+                f"gab_kernel_form_levels has "
+                f"{len(self.gab_kernel_form_levels)} entries for a "
+                f"{self.num_levels}-level architecture")
+        for v in self.gab_kernel_form_levels:
+            if v not in ("", "inherit", "v1", "v2", "fold"):
+                raise ValueError(
+                    f"unknown gab_kernel_form_levels entry {v!r}; valid: "
+                    f"('', 'inherit', 'v1', 'v2', 'fold')")
         if len(self.storage_dtype_levels) > self.num_levels:
             raise ValueError(
                 f"storage_dtype_levels has {len(self.storage_dtype_levels)}"

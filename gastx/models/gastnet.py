@@ -133,7 +133,7 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
         y, params["gabs"][0], state["gabs"][0], j, sym, con,
         interpret=interpret, tile_budget=cfg.gab_tile_budget,
         precs=resolve_tiers(level_prec("gab0"), KERNEL_OPS),
-        form=cfg.gab_kernel_form,
+        form=cfg.gab_form_for(0),
         softmax_group=cfg.gab_softmax_group,
         apply_block=cfg.gab_apply_block,
         score_block=cfg.gab_score_block)
@@ -168,7 +168,7 @@ def _packed_prefix(params, state, y, cfg, statics, level_prec):
             y, params["gabs"][i], state["gabs"][i], j, sym, con,
             interpret=interpret, tile_budget=cfg.gab_tile_budget,
             precs=resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS),
-            form=cfg.gab_kernel_form,
+            form=cfg.gab_form_for(i),
             softmax_group=cfg.gab_softmax_group,
             apply_block=cfg.gab_apply_block,
             score_block=cfg.gab_score_block)
@@ -270,7 +270,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng,
             fw=fw[0], interpret=impl0.endswith("_interpret"),
             precs=((("temporal", raw0("expand") or base0),)
                    + resolve_tiers(level_prec("gab0"), KERNEL_OPS)),
-            form=cfg.gab_kernel_form,
+            form=cfg.gab_form_for(0),
             softmax_group=cfg.gab_softmax_group,
             apply_block=cfg.gab_apply_block,
             score_block=cfg.gab_score_block)
@@ -317,7 +317,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng,
             gab_impl=cfg.gab_impl_for(0),
             gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
-            gab_kernel_form=cfg.gab_kernel_form,
+            gab_kernel_form=cfg.gab_form_for(0),
             gab_softmax_group=cfg.gab_softmax_group,
             gab_apply_block=cfg.gab_apply_block,
             gab_score_block=cfg.gab_score_block,
@@ -379,7 +379,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng,
                 interpret=impl_i.endswith("_interpret"),
                 precs=(resolve_tiers(lp, LEVEL_OPS)
                        + resolve_tiers(level_prec(f"gab{i}"), KERNEL_OPS)),
-                form=cfg.gab_kernel_form,
+                form=cfg.gab_form_for(i),
                 softmax_group=cfg.gab_softmax_group,
                 apply_block=cfg.gab_apply_block,
                 score_block=cfg.gab_score_block)
@@ -414,7 +414,7 @@ def _forward(params, state, x, cfg, *, variant, train, rng,
             attn_impl=cfg.attn_impl, local_impl=cfg.local_impl,
             gab_impl=impl_i, gab_tile_budget=cfg.gab_tile_budget,
             gab_io_dtype=cfg.gab_io_dtype,
-            gab_kernel_form=cfg.gab_kernel_form,
+            gab_kernel_form=cfg.gab_form_for(i),
             gab_softmax_group=cfg.gab_softmax_group,
             gab_apply_block=cfg.gab_apply_block,
             gab_score_block=cfg.gab_score_block,

@@ -37,24 +37,31 @@ from gastx.models import config_for_frames, gastnet_forward, init_gastnet
 ITERS = 20
 B = 1024
 
-# (name, score_block, apply_block, kernel_form)
+# (name, score_block, apply_block, kernel_form, form_levels)
 COMBOS = (
-    ("base", False, False, "v1"),   # == production
-    ("sb", True, False, "v1"),
-    ("ab", False, True, "v1"),
-    ("sb-ab", True, True, "v1"),
+    ("base", False, False, "v1", ()),   # == production
+    ("sb", True, False, "v1", ()),
+    ("ab", False, True, "v1", ()),
+    ("sb-ab", True, True, "v1", ()),
     # r5 fold form: theta/phi projections + all 2K rank-1 score dots
     # pre-contracted into two thin (C, K) dots (fused_gab.py
     # _global_branch_fold) — removes the lab36 score-dot term entirely
     # instead of restructuring it like sb.
-    ("fold", False, False, "fold"),
+    ("fold", False, False, "fold", ()),
+    # r5 per-level adoption shape: fold ONLY at the gab0 pbatch stage,
+    # where the lab36 --form fold bisection measured it faster (157.5 vs
+    # 168.6 ms at 243f K'=32); gab1 (K'=16) Mosaic-500s at the default
+    # tile and LOSES at tb=2048, gab2/3 (K=8) lose outright.
+    ("fold0", False, False, "v1", ("fold",)),
 )
 
 
-def _cfg(frames: int, sb: bool, ab: bool, form: str = "v1"):
+def _cfg(frames: int, sb: bool, ab: bool, form: str = "v1",
+         form_levels=()):
     return dataclasses.replace(
         config_for_frames(frames, dropout=0.0),
-        gab_score_block=sb, gab_apply_block=ab, gab_kernel_form=form)
+        gab_score_block=sb, gab_apply_block=ab, gab_kernel_form=form,
+        gab_kernel_form_levels=form_levels)
 
 
 def _timed_scan(fwd, params, state, x, iters=ITERS):
@@ -81,10 +88,10 @@ def speed(frames: int, combos):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
         (B, frames, 17, 2)).astype(np.float32))
-    for name, sb, ab, form in COMBOS:
+    for name, sb, ab, form, fl in COMBOS:
         if name not in combos:
             continue
-        cfg = _cfg(frames, sb, ab, form)
+        cfg = _cfg(frames, sb, ab, form, fl)
 
         def fwd(p, s, xx, _cfg=cfg):
             return gastnet_forward(p, s, xx, _cfg, variant="dilated",
@@ -99,13 +106,14 @@ def speed(frames: int, combos):
 
 
 def err(frames: int, combo_name: str, seeds: int):
-    _, sb, ab, form = next(c for c in COMBOS if c[0] == combo_name)
-    cfg = _cfg(frames, sb, ab, form)
+    _, sb, ab, form, fl = next(c for c in COMBOS if c[0] == combo_name)
+    cfg = _cfg(frames, sb, ab, form, fl)
     exact = dataclasses.replace(
         cfg, matmul_precision="highest", precision_overrides=(),
         gab_impl="xla", gab_impl_levels=(), storage_dtype="float32",
         storage_dtype_levels=(), gab_score_block=False,
-        gab_apply_block=False, gab_kernel_form="v1")
+        gab_apply_block=False, gab_kernel_form="v1",
+        gab_kernel_form_levels=())
 
     @jax.jit
     def fwd(p, s, xx):

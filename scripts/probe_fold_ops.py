@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 J = 17
-K = 8
+K = 8  # default; override with --k
 
 
 def _full(*_):
@@ -61,9 +61,14 @@ def main():
     ap.add_argument("--probes", default="dot8,rshp,slice1,bias,full")
     ap.add_argument("--tm", type=int, default=16)
     ap.add_argument("--c", type=int, default=128)
+    ap.add_argument("--k", type=int, default=0,
+                    help="head count override (K'=16 is the Mosaic-500 "
+                         "shape; 0 = keep the module default)")
     a = ap.parse_args()
     want = {s.strip() for s in a.probes.split(",") if s.strip()}
     tm, c = a.tm, a.c
+    if a.k:
+        globals()["K"] = a.k
 
     r = np.random.default_rng(0)
     x = jnp.asarray(r.standard_normal((tm * J, c)).astype(np.float32))

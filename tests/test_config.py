@@ -143,3 +143,18 @@ def test_trainval_matmul_precision_flag():
                        _DS())
     assert cfg.matmul_precision == "default"
     assert cfg.precision_overrides == ()
+
+
+def test_gab_kernel_form_levels_validation():
+    """Per-level kernel-form overrides (r5 fold adoption plumbing) are
+    validated at construction like gab_impl_levels."""
+    cfg = GastNetConfig(gab_kernel_form_levels=("fold", "inherit", ""))
+    assert cfg.gab_form_for(0) == "fold"
+    assert cfg.gab_form_for(1) == "v1"   # inherit -> gab_kernel_form
+    assert cfg.gab_form_for(2) == "v1"   # "" -> gab_kernel_form
+    assert cfg.gab_form_for(9) == "v1"   # beyond the list -> base
+    with pytest.raises(ValueError):
+        GastNetConfig(gab_kernel_form_levels=("nope",))
+    with pytest.raises(ValueError):
+        GastNetConfig(filter_widths=(3, 3),
+                      gab_kernel_form_levels=("v1", "v1", "v1"))

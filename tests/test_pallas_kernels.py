@@ -497,6 +497,17 @@ def test_kernel_form_fold_matches_v1():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, rtol=1e-4)
 
+    # per-level form override (gab_kernel_form_levels): fold at level 0
+    # only — the r5 adoption shape (fold wins at pbatch stages, v1 stays
+    # at the K=8 per-GAB stages)
+    cf = dataclasses.replace(cfg, gab_impl="pallas_interpret",
+                             gab_kernel_form_levels=("fold", ""),
+                             gab_softmax_group=8)
+    b = gastnet_forward(params, state, x, cf,
+                        variant="dilated", train=False)[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-5, rtol=1e-4)
+
 
 def test_softmax_group_bitwise_equal():
     """gab_softmax_group batches the per-head LeakyReLU/softmax/+C_k

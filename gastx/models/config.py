@@ -499,13 +499,26 @@ def config_for_frames(
     # causal/other-layout 243f configs inherit it on the project-wide
     # convention that certs are taken at h36m17 (their kernels run the
     # same dot shapes).
+    form_levels: Tuple[str, ...] = ()
     if (frames == 243 and gab_impl == "auto"
             and overrides == TPU_MIXED_PRECISION_OVERRIDES):
         overrides = (("attn_proj", "kdefault"), ("attn_cat", "kdefault"),
                      ("gab_cat", "kdefault")) + overrides
+        # r5 fold adoption (perf_lab36 --form fold bisection + perf_lab38
+        # fold0 A/B): the score-FOLDED global branch at the gab0 pbatch
+        # stage only (K'=32 is the one head count where the two thin
+        # folded score dots beat v1's per-head slivers; gab1 K'=16
+        # Mosaic-500s/loses, gab2/3 K=8 lose — DESIGN.md r5 table).
+        # End-to-end 1,361 -> 1,381 seq/s (+1.5%) at 0.0329 mm worst of
+        # 24 seeds (base 0.0321). Same gate as the tier loosening: the
+        # default preset on the default "auto" route; the form is only
+        # read by the Pallas kernel entry points, so XLA fallbacks and
+        # training are bitwise unaffected.
+        form_levels = ("fold",)
     return GastNetConfig(num_joints_in=num_joints, num_joints_out=num_joints,
                          filter_widths=fw, channels=ch, causal=causal,
                          dropout=dropout, layout=layout,
                          precision_overrides=overrides,
                          gab_impl=gab_impl, storage_dtype=storage,
-                         storage_dtype_levels=storage_levels)
+                         storage_dtype_levels=storage_levels,
+                         gab_kernel_form_levels=form_levels)

@@ -74,6 +74,17 @@ def test_243f_kernel_route_tier_loosening():
     for frames in (27, 81):
         assert "attn_proj" not in dict(
             config_for_frames(frames).precision_overrides)
+    # r5 fold adoption rides the same gate: fold at gab0 only on the
+    # default 243f auto route (1,381 seq/s at 0.0329 mm worst of 24),
+    # v1 everywhere else and on every opt-out path.
+    assert cfg.gab_kernel_form_levels == ("fold",)
+    assert cfg.gab_form_for(0) == "fold" and cfg.gab_form_for(1) == "v1"
+    assert config_for_frames(243, gab_impl="xla").gab_kernel_form_levels \
+        == ()
+    assert config_for_frames(
+        243, precision_overrides=()).gab_kernel_form_levels == ()
+    for frames in (27, 81):
+        assert config_for_frames(frames).gab_kernel_form_levels == ()
 
 
 def test_precision_for_resolution():
